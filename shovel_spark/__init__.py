@@ -1,0 +1,25 @@
+"""shovel_spark — a brand-new PySpark-native batch pipeline engine with the
+capabilities of mathquis/node-shovel (parse → enrich → route → aggregate
+message shuttling with delivery guarantees), re-expressed Spark-first.
+
+Reference semantics surveyed in /root/repo/SURVEY.md; this package is NOT a
+port — shovel's per-message event-loop graph (reference:
+src/core/processor.js:79-84) compiles here to one lazy DataFrame chain that
+Catalyst optimizes (scan pruning, broadcast joins, whole-stage codegen).
+
+Layout
+------
+- session.py            SparkSession builder tuned for the pipeline
+- schema.py             canonical StructTypes (pages, ledger, metrics)
+- synth.py              deterministic synthetic pages table (native exprs only)
+- functions/            column-level functions (parse, codecs, text stats, hashing)
+- operators/            dataframe-level operators (enrich, route, aggregate,
+                        dedup, similarity, asof)
+- io/                   sources + multi-sink writer
+- ledger.py             per-partition checkpoint ledger + resumable runner
+- pipeline.py           job config → compiled pipeline (the engine's "planner")
+- oracle.py             pure-Python oracle of shovel's route/ack taxonomy
+- streaming/            Structured Streaming variant of the pipeline
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,63 @@
+"""Multi-sink fan-out writer — the outputs-slot analog (SURVEY.md §2.6).
+
+Shovel's ``pipeline`` output routes each message to one or many downstream
+pipelines (reference: src/outputs/pipeline.js:18-30, fanout/broadcast modes);
+its elasticsearch output renders a dynamic per-message index name
+(reference: src/outputs/elasticsearch.js:203-210). The Spark-native shape:
+
+  - persist the routed frame ONCE, then one filtered write per sink — N sinks
+    cost one source scan + N cheap filtered passes over cached batches, not
+    N scans of a 100 TB table;
+  - dynamic index name ≙ partitioned table writes (partition columns carry
+    what the name template carried: date, bucket);
+  - per-doc error isolation ≙ the dead_letter sink receiving rejected rows.
+
+Format is parquet by default; ``format='iceberg'`` plugs in transparently
+when an Iceberg catalog is configured (the sandbox has no Iceberg runtime
+jar — the write path is identical apart from ``writeTo``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def write_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    sinks: list[str],
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    output_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict[str, str]:
+    """Write each sink's rows to ``{out_dir}/sink_{name}``; returns paths.
+
+    ``partition_cols`` (e.g. ``['bucket']`` or ``['dt']``) makes the write
+    dynamic-partition-overwrite-able — the resume path re-writes only the
+    partitions it re-processes.
+    """
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    paths: dict[str, str] = {}
+    try:
+        for name in sinks:
+            path = os.path.join(out_dir, f"sink_{name}")
+            part = routed.filter(F.col("sink") == name)
+            if output_cols:
+                keep = list(output_cols)
+                for c in partition_cols or []:
+                    if c not in keep:
+                        keep.append(c)
+                part = part.select(*keep)
+            writer = part.write.mode(mode)
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.format(fmt).save(path)
+            paths[name] = path
+    finally:
+        routed.unpersist()
+    return paths

@@ -1,0 +1,81 @@
+"""Routing — shovel's node-graph dispatch re-expressed as status/sink columns.
+
+The reference taxonomy (reference: src/core/processor.js:120-144):
+  - handler exception  -> auto-reject (src/core/node.js:461-466)
+  - node.reject()      -> rejected (drop as failure)
+  - node.ignore()      -> ignored (drop benignly)
+  - delivered + ack    -> acked
+
+Here every row gets exactly one ``status`` and at most one ``sink`` in a
+single ``when`` chain — one pass, no shuffle, fully codegen'd. Dead-lettered
+rows keep their error for the dead-letter sink (per-doc error isolation,
+reference: src/outputs/elasticsearch.js:156-165, instead of failing the task).
+
+Sink predicates replicate the ``pipeline`` output's dispatch
+(reference: src/outputs/pipeline.js:18-30):
+  - *fanout* mode  = first-match-wins over an ordered predicate list
+    (disjoint routing — each row to exactly one sink)
+  - *broadcast* mode = every matching predicate receives the row
+    (handled by the writer filtering the persisted frame per sink)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shovel_spark.schema import (
+    DEAD_LETTER_SINK,
+    STATUS_ACKED,
+    STATUS_IGNORED,
+    STATUS_REJECTED,
+)
+
+
+@dataclass(frozen=True)
+class SinkRule:
+    """One routing predicate -> sink name (ordered, first match wins)."""
+
+    name: str
+    predicate: Column
+
+
+def default_sink_rules() -> list[SinkRule]:
+    """The demo pipeline's sinks: rule_sink override first (per-message
+    routing header analog, reference: src/core/message.js:89-92), then
+    lang-based sinks."""
+    return [
+        SinkRule("hot", F.col("rule_sink") == "hot"),
+        SinkRule("commerce", F.col("rule_sink") == "commerce"),
+        SinkRule("knowledge", F.col("rule_sink") == "knowledge"),
+        SinkRule("media", F.col("rule_sink") == "media"),
+        SinkRule("english", F.col("lang_norm") == "en"),
+        SinkRule("intl", F.col("lang_norm").isin("fr", "de", "es", "zh", "ja")),
+    ]
+
+
+def apply_routes(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
+    """Add ``status`` and ``sink`` columns.
+
+    Order of precedence (mirrors the reference's per-node event order —
+    a reject anywhere upstream wins over downstream delivery):
+      1. parse failure          -> rejected / dead_letter
+      2. domain rule 'deny'     -> rejected / dead_letter
+      3. first matching sink    -> acked / <sink>
+      4. no sink matched        -> ignored / null
+    """
+    rejected = (~F.col("parsed.ok")) | (F.col("rule_action") == "deny")
+
+    sink_expr = F.lit(None).cast("string")
+    for rule in reversed(sinks):
+        sink_expr = F.when(rule.predicate, F.lit(rule.name)).otherwise(sink_expr)
+
+    status = (
+        F.when(rejected, F.lit(STATUS_REJECTED))
+        .when(sink_expr.isNotNull(), F.lit(STATUS_ACKED))
+        .otherwise(F.lit(STATUS_IGNORED))
+    )
+    sink = F.when(rejected, F.lit(DEAD_LETTER_SINK)).otherwise(sink_expr)
+    return df.withColumn("status", status).withColumn("sink", sink)

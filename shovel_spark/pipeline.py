@@ -1,0 +1,182 @@
+"""The engine's planner: job config → one lazy DataFrame chain → sinks.
+
+Shovel wires six node slots from YAML at startup (reference:
+src/core/processor.js:65-84); here the same declarative config compiles to
+
+    read pages → parse (uuid, domain, text) → broadcast enrich (lang map,
+    domain rules) → route (status, sink) → bucket → fan-out writes + metrics
+
+which Catalyst fuses into scan + one codegen stage + two broadcast joins —
+predicate pushdown, column pruning (the count-only paths never read ``html``)
+and join planning are free (SURVEY.md §4).
+
+Resume protocol (``run_resumable``): see ledger.py — skip done buckets,
+dynamic-partition-overwrite the rest, ledger-append as commit point.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shovel_spark import ledger as L
+from shovel_spark.functions.parse import parse_pages
+from shovel_spark.io.sinks import write_sinks
+from shovel_spark.operators.aggregate import sink_metrics
+from shovel_spark.operators.enrich import apply_domain_rules, normalize_lang
+from shovel_spark.operators.route import SinkRule, apply_routes, default_sink_rules
+
+#: Columns each sink table carries (html dropped post-parse: at 10^12 rows the
+#: binary column dominates bytes; sinks store extracted fields only).
+OUTPUT_COLS = [
+    "uuid",
+    "url",
+    "warc_ts",
+    "domain",
+    "lang_norm",
+    "text",
+    "title",
+    "status",
+    "sink",
+    "error",
+]
+
+_ENV_RE = re.compile(r"\$\{(\w+)(?::([^}]*))?\}")
+
+
+def substitute_env(value: str) -> str:
+    """``${VAR:default}`` substitution, mirroring the reference's config
+    loader (reference: src/core/pipeline_config.js:42-54)."""
+    return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), m.group(2) or ""), value)
+
+
+@dataclass
+class JobConfig:
+    name: str = "pages"
+    input_path: str | None = None  # parquet dir or None (caller passes a DF)
+    out_dir: str = "/tmp/shovel_spark_out"
+    parser_impl: str = "native"  # 'native' (JVM regexp) | 'pandas' (Arrow UDF)
+    n_buckets: int = 64
+    sink_rules: list[SinkRule] = field(default_factory=default_sink_rules)
+    sinks: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if not self.sinks:
+            self.sinks = [r.name for r in self.sink_rules] + ["dead_letter"]
+
+
+def build_routed(
+    pages: DataFrame,
+    lang_map: DataFrame,
+    domain_rules: DataFrame,
+    cfg: JobConfig,
+) -> DataFrame:
+    """The full lazy chain, no action triggered."""
+    df = parse_pages(pages, impl=cfg.parser_impl)
+    df = normalize_lang(df, lang_map)
+    df = apply_domain_rules(df, domain_rules)
+    df = apply_routes(df, cfg.sink_rules)
+    df = df.withColumn("text", F.col("parsed.text")).withColumn(
+        "title", F.col("parsed.title")
+    ).withColumn("error", F.col("parsed.error"))
+    return L.with_bucket(df.select(*OUTPUT_COLS, "lang"), n_buckets=cfg.n_buckets)
+
+
+def run_once(
+    spark: SparkSession,
+    pages: DataFrame,
+    lang_map: DataFrame,
+    domain_rules: DataFrame,
+    cfg: JobConfig,
+) -> DataFrame:
+    """Single-shot run (no ledger): write all sinks, return metrics DF."""
+    routed = build_routed(pages, lang_map, domain_rules, cfg)
+    write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
+    metrics = sink_metrics(routed, pipeline=cfg.name)
+    metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+    return spark.read.parquet(os.path.join(cfg.out_dir, "metrics"))
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    lang_map: DataFrame,
+    domain_rules: DataFrame,
+    cfg: JobConfig,
+    run_id: str | None = None,
+    max_buckets: int | None = None,
+    lineage: str = "",
+) -> dict:
+    """Resumable run over logical buckets (see ledger.py for the protocol).
+
+    ``max_buckets`` processes only the first K pending buckets — the test
+    suite's crash simulation (kill after K partitions, FIXTURES.md §4).
+    Returns {run_id, processed_buckets, skipped_buckets}.
+    """
+    run_id = run_id or L.new_run_id()
+    ledger_dir = os.path.join(cfg.out_dir, "ledger")
+    done = L.read_done_buckets(spark, ledger_dir)
+
+    routed = build_routed(pages, lang_map, domain_rules, cfg)
+    pending_pred = ~F.col("bucket").isin(sorted(done)) if done else F.lit(True)
+    pending = routed.filter(pending_pred)
+
+    if max_buckets is not None:
+        all_buckets = sorted(
+            set(range(cfg.n_buckets)) - done
+        )[:max_buckets]
+        pending = pending.filter(F.col("bucket").isin(all_buckets))
+
+    # One distributed pass: counts per (bucket, status) for the ledger, then
+    # partitioned sink writes. persist() inside write_sinks covers both.
+    t0 = time.time()
+    write_sinks(
+        pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
+    )
+    counts = (
+        pending.groupBy("bucket")
+        .agg(
+            F.count("*").alias("in_rows"),
+            F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
+            F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
+            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+        )
+        .collect()
+    )
+    bucket_counts = [r.asDict() for r in counts]
+    if bucket_counts:
+        L.append_ledger(spark, ledger_dir, run_id, bucket_counts, lineage or f"pages->{cfg.out_dir}")
+    return {
+        "run_id": run_id,
+        "processed_buckets": sorted(int(b["bucket"]) for b in bucket_counts),
+        "skipped_buckets": sorted(done),
+        "elapsed_sec": time.time() - t0,
+    }
+
+
+def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "pages") -> DataFrame:
+    """Pipeline totals reconstructed from the ledger (the reference's
+    cross-worker metric aggregation analog, src/core/aggregated_metrics.js:100-132)."""
+    led = spark.read.parquet(os.path.join(out_dir, "ledger")).filter(F.col("status") == "done")
+    # Last writer wins per bucket (a re-run replaces the bucket's output).
+    latest = led.groupBy("bucket").agg(
+        F.last("in_rows").alias("in_rows"),
+        F.last("acked").alias("acked"),
+        F.last("nacked").alias("nacked"),
+        F.last("ignored").alias("ignored"),
+        F.last("rejected").alias("rejected"),
+    )
+    return latest.agg(
+        F.lit(pipeline).alias("pipeline"),
+        F.lit(None).cast("string").alias("sink"),
+        F.sum("in_rows").alias("in_rows"),
+        F.sum("acked").alias("acked"),
+        F.sum("nacked").alias("nacked"),
+        F.sum("ignored").alias("ignored"),
+        F.sum("rejected").alias("rejected"),
+    )

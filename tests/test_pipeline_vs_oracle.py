@@ -1,0 +1,95 @@
+"""End-to-end: Spark pipeline counts + routed-row sets == pure-Python oracle.
+
+This is BASELINE.md's "per-sink aggregate count equality" and "routed-row set
+equality" gate: the oracle independently replays shovel's taxonomy
+(reference: src/core/processor.js:120-144) over the same rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shovel_spark.operators.aggregate import sink_metrics
+from shovel_spark.oracle import run_oracle
+from shovel_spark.pipeline import JobConfig, build_routed
+from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+N = 3000
+SEED = 11
+
+
+@pytest.fixture(scope="module")
+def routed(spark):
+    cfg = JobConfig(n_buckets=16)
+    df = build_routed(
+        synth_pages(spark, N, seed=SEED),
+        default_lang_map(spark),
+        default_domain_rules(spark),
+        cfg,
+    )
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    rows = [r.asDict() for r in synth_pages(spark, N, seed=SEED).collect()]
+    lang_map = {r.lang_raw: r.lang_norm for r in default_lang_map(spark).collect()}
+    dom = {r.domain: (r.action, r.sink) for r in default_domain_rules(spark).collect()}
+    sink_rules = [
+        ("hot", "rule_sink", "hot"),
+        ("commerce", "rule_sink", "commerce"),
+        ("knowledge", "rule_sink", "knowledge"),
+        ("media", "rule_sink", "media"),
+        ("english", "lang_norm", "en"),
+        ("intl", "lang_norm", frozenset({"fr", "de", "es", "zh", "ja"})),
+    ]
+    return run_oracle(rows, lang_map, dom, sink_rules)
+
+
+def test_status_counts_match_oracle(routed, oracle):
+    got = {r["status"]: r["count"] for r in routed.groupBy("status").count().collect()}
+    assert got["acked"] == oracle.counts["acked"]
+    assert got["rejected"] == oracle.counts["rejected"]
+    assert got.get("ignored", 0) == oracle.counts["ignored"]
+    assert sum(got.values()) == oracle.counts["in"] == N
+
+
+def test_per_sink_counts_match_oracle(routed, oracle):
+    got = {
+        r["sink"]: r["count"]
+        for r in routed.filter(F.col("sink").isNotNull()).groupBy("sink").count().collect()
+    }
+    want = dict(oracle.sink_counts)
+    want["dead_letter"] = oracle.counts["rejected"]
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_routed_row_sets_match_oracle(routed, oracle):
+    for sink, urls in oracle.sink_rows.items():
+        got = {r["url"] for r in routed.filter(F.col("sink") == sink).select("url").collect()}
+        assert got == urls, f"row set mismatch for sink {sink}"
+
+
+def test_extracted_text_matches_oracle(routed, oracle):
+    rows = routed.filter(F.col("status") != "rejected").select("url", "text").collect()
+    mismatches = [r.url for r in rows if oracle.texts.get(r.url) != r.text]
+    assert not mismatches
+
+
+def test_metrics_shape_and_totals(routed, oracle):
+    m = sink_metrics(routed).collect()
+    total = next(r for r in m if r["sink"] is None)
+    assert total["in_rows"] == N
+    assert total["acked"] == oracle.counts["acked"]
+    assert total["rejected"] == oracle.counts["rejected"]
+    assert total["ignored"] == oracle.counts["ignored"]
+    assert total["nacked"] == 0
+    per = {r["sink"]: r for r in m if r["sink"] is not None}
+    assert per["dead_letter"]["rejected"] == oracle.counts["rejected"]
+    for sink, n in oracle.sink_counts.items():
+        if sink == "dead_letter":
+            continue  # dead-letter rows are rejected, not acked
+        assert per[sink]["acked"] == n

@@ -1,0 +1,81 @@
+"""Kill/resume: no reprocessing, no double-routing (SURVEY.md §5 item 3).
+
+Simulates a crash by running only K of B buckets (max_buckets), then
+resuming; the final sink tables and ledger must equal a single-shot run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from shovel_spark.pipeline import JobConfig, metrics_from_ledger, run_resumable
+from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+N = 2500
+SEED = 13
+B = 8
+
+
+def _inputs(spark):
+    return synth_pages(spark, N, seed=SEED), default_lang_map(spark), default_domain_rules(spark)
+
+
+def _sink_urls(spark, out_dir, sink):
+    path = os.path.join(out_dir, f"sink_{sink}")
+    return {r["url"] for r in spark.read.parquet(path).select("url").collect()}
+
+
+def test_resume_equals_single_run(spark, tmp_path):
+    pages, lm, dr = _inputs(spark)
+
+    golden_cfg = JobConfig(out_dir=str(tmp_path / "golden"), n_buckets=B)
+    run_resumable(spark, pages, lm, dr, golden_cfg)
+
+    cfg = JobConfig(out_dir=str(tmp_path / "resumed"), n_buckets=B)
+    r1 = run_resumable(spark, pages, lm, dr, cfg, max_buckets=3)  # "crash" after 3
+    assert len(r1["processed_buckets"]) == 3
+    r2 = run_resumable(spark, pages, lm, dr, cfg)  # resume
+    assert r2["skipped_buckets"] == r1["processed_buckets"]  # no reprocessing
+    assert set(r1["processed_buckets"]).isdisjoint(r2["processed_buckets"])
+    assert sorted(r1["processed_buckets"] + r2["processed_buckets"]) == list(range(B))
+
+    for sink in cfg.sinks:
+        g = _sink_urls(spark, golden_cfg.out_dir, sink)
+        got = _sink_urls(spark, cfg.out_dir, sink)
+        assert got == g, f"sink {sink} diverged after resume"
+
+    led = spark.read.parquet(os.path.join(cfg.out_dir, "ledger"))
+    per_bucket = led.groupBy("bucket").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)  # each bucket done exactly once
+    assert len(per_bucket) == B
+
+    m = metrics_from_ledger(spark, cfg.out_dir).first()
+    gm = metrics_from_ledger(spark, golden_cfg.out_dir).first()
+    assert m["in_rows"] == gm["in_rows"] == N
+    assert (m["acked"], m["ignored"], m["rejected"]) == (gm["acked"], gm["ignored"], gm["rejected"])
+
+
+def test_rerun_of_unacked_bucket_overwrites_not_appends(spark, tmp_path):
+    """Crash between sink write and ledger append: the re-run must replace the
+    bucket's output (dynamic partition overwrite), not double it."""
+    pages, lm, dr = _inputs(spark)
+    cfg = JobConfig(out_dir=str(tmp_path / "o"), n_buckets=B)
+
+    # First pass writes bucket 0-2 outputs; wipe the ledger to simulate dying
+    # before the ack (ledger append) happened.
+    run_resumable(spark, pages, lm, dr, cfg, max_buckets=3)
+    import shutil
+
+    shutil.rmtree(os.path.join(cfg.out_dir, "ledger"))
+
+    run_resumable(spark, pages, lm, dr, cfg)  # reruns everything
+
+    golden_cfg = JobConfig(out_dir=str(tmp_path / "g"), n_buckets=B)
+    run_resumable(spark, pages, lm, dr, golden_cfg)
+    for sink in cfg.sinks:
+        assert _sink_urls(spark, cfg.out_dir, sink) == _sink_urls(spark, golden_cfg.out_dir, sink)
+    # row *multiset* check: no duplicated urls from double-routing
+    df = spark.read.parquet(os.path.join(cfg.out_dir, "sink_english"))
+    assert df.count() == df.select("url").distinct().count()
