@@ -1,0 +1,802 @@
+"""Driver-contract demo queries: one per implemented capability (SURVEY.md §2).
+
+Each entry pairs a PySpark DataFrame implementation with an equivalent DuckDB
+SQL oracle, run side-by-side by the driver at sf=0.01 (row count + schema +
+order-insensitive value hash). Column names are aliased identically on both
+sides; floats are rounded (2-4 dp) so double-vs-double accumulation noise
+can't flip the value hash; timestamps are emitted as formatted strings.
+
+Grouped by capability:
+  - log-pipeline analogs over ``events``   (shovel's parse/route/enrich/count,
+    reference: src/core/processor.js:120-144, src/outputs/pipeline.js:18-30)
+  - relational coverage over TPC-H tables  (joins/aggregates/windows/set ops
+    the north_rule adds on top of the reference)
+  - training-data ops over ``documents`` / ``embeddings`` (dedup, similarity,
+    text stats — the 100 TB pipeline extras)
+  - ``pipeline_metrics``: the full engine (parse → enrich → route → count)
+    over pages built from ``documents``, with a pure-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Log-pipeline analogs over `events`
+# ---------------------------------------------------------------------------
+
+@_register(
+    "route_status_counts",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'rejected'
+                WHEN value < 20 THEN 'ignored'
+                ELSE 'acked' END AS status,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def route_status_counts(spark, sf_dir):
+    """Shovel's ack/ignore/reject taxonomy as a when-chain (route operator)."""
+    ev = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "rejected")
+        .when(F.col("value") < 20, "ignored")
+        .otherwise("acked")
+    )
+    return ev.groupBy(status.alias("status")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "route_sink_counts",
+    """
+    WITH r AS (
+      SELECT CASE WHEN event_type = 'error' THEN 'dead_letter'
+                  WHEN event_type = 'purchase' THEN 'billing'
+                  WHEN event_type = 'signup' THEN 'crm'
+                  WHEN value >= 20 THEN 'analytics' END AS sink,
+             value
+      FROM events
+    )
+    SELECT sink, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM r WHERE sink IS NOT NULL GROUP BY 1
+    """,
+)
+def route_sink_counts(spark, sf_dir):
+    """First-match-wins sink dispatch (pipeline output fanout analog)."""
+    ev = _t(spark, sf_dir, "events")
+    sink = (
+        F.when(F.col("event_type") == "error", "dead_letter")
+        .when(F.col("event_type") == "purchase", "billing")
+        .when(F.col("event_type") == "signup", "crm")
+        .when(F.col("value") >= 20, "analytics")
+    )
+    return (
+        ev.withColumn("sink", sink)
+        .filter(F.col("sink").isNotNull())
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_register(
+    "parse_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 3) AS avg_k
+    FROM events GROUP BY 1
+    """,
+)
+def parse_json_props(spark, sf_dir):
+    """JSON decoder analog: get_json_object over the props payload."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 3).alias("avg_k"),
+    )
+
+
+@_register(
+    "enrich_translate",
+    """
+    SELECT CASE event_type WHEN 'purchase' THEN 'revenue'
+                           WHEN 'signup' THEN 'growth'
+                           WHEN 'click' THEN 'engagement'
+                           WHEN 'view' THEN 'engagement'
+                           ELSE 'other' END AS category,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def enrich_translate(spark, sf_dir):
+    """util.translate analog: broadcast dict lookup with default fall-through
+    (reference: src/core/utils.js:74-76)."""
+    from shovel_spark.operators.enrich import translate
+
+    ev = _t(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(
+        [("purchase", "revenue"), ("signup", "growth"), ("click", "engagement"), ("view", "engagement")],
+        "k string, v string",
+    )
+    enriched = translate(ev, "event_type", mapping, "k", "v", "category", default="other")
+    return enriched.groupBy("category").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "render_index_name",
+    """
+    SELECT event_type || '-' || strftime(ts, '%Y-%m') AS index_name, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def render_index_name(spark, sf_dir):
+    """Dynamic per-message index-name template (reference:
+    src/outputs/elasticsearch.js:203-210) ≙ partition-column expression."""
+    ev = _t(spark, sf_dir, "events")
+    name = F.concat("event_type", F.lit("-"), F.date_format("ts", "yyyy-MM"))
+    return ev.groupBy(name.alias("index_name")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark, sf_dir):
+    """Tumbling-window aggregation, batch form."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@_register(
+    "asof_prior_signup",
+    """
+    WITH w AS (
+      SELECT user_id, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           sum(CASE WHEN prior_signup IS NOT NULL THEN 1 ELSE 0 END) AS with_prior_signup
+    FROM w WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def asof_prior_signup(spark, sf_dir):
+    """As-of join (point-in-time lookup) composed from window last(ignorenulls)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prior = F.last(F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("prior_signup", prior)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.when(F.col("prior_signup").isNotNull(), 1).otherwise(0)).alias(
+                "with_prior_signup"
+            ),
+        )
+    )
+
+
+@_register(
+    "sessionize_30m",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY 1
+    """,
+)
+def sessionize_30m(spark, sf_dir):
+    """Session windows (30-min inactivity gap), batch form: lag + cumulative sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # compare at microsecond precision — a seconds-truncating cast can
+    # disagree with the oracle's INTERVAL comparison at exact boundaries
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))
+    new_session = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """Ranking window: keep each user's most recent event (top-1 per key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+        )
+    )
+
+
+@_register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@_register(
+    "except_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+    """,
+)
+def except_users(spark, sf_dir):
+    """Set ops: big purchasers minus big-error users (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).select("user_id")
+    errs = ev.filter((F.col("event_type") == "error") & (F.col("value") > 150)).select("user_id")
+    return buyers.subtract(errs)  # subtract == EXCEPT (set) semantics
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide scan + hash aggregate (the classic throughput probe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "region_revenue",
+    """
+    SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def region_revenue(spark, sf_dir):
+    """Star join: fact orders vs broadcast dims (customer/nation/region)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "topk_parts_by_revenue",
+    """
+    SELECT p_partkey, p_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 10
+    """,
+)
+def topk_parts_by_revenue(spark, sf_dir):
+    """Top-k: aggregate + global sort limit (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "semi_join_segments",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def semi_join_segments(spark, sf_dir):
+    """Left-semi join: customers having orders (allow-list shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "anti_join_nations",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def anti_join_nations(spark, sf_dir):
+    """Left-anti join: customers with no urgent orders (deny-list shape,
+    SURVEY.md §2.8)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "rollup_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_priority_status(spark, sf_dir):
+    """Rollup grouping sets (subtotals + grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "salted_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    """,
+)
+def salted_priority_counts(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key defense) — must equal the naive
+    GROUP BY exactly (BASELINE.json north_star)."""
+    from shovel_spark.operators.aggregate import salted_count
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_count(o, "o_orderpriority", salt_buckets=16, out_col="n")
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over `documents` / `embeddings`
+# ---------------------------------------------------------------------------
+
+@_register(
+    "docs_unique_per_lang",
+    """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+           count(DISTINCT md5(text)) AS n_fingerprints
+    FROM documents GROUP BY 1
+    """,
+)
+def docs_unique_per_lang(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.countDistinct(F.md5("text")).alias("n_fingerprints"),
+    )
+
+
+@_register(
+    "docs_token_stats",
+    """
+    WITH t AS (
+      SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS tokens, n_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(tokens), 2) AS avg_tokens,
+           max(tokens) AS max_tokens, sum(n_chars) AS total_chars
+    FROM t GROUP BY 1
+    """,
+)
+def docs_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + per-lang stats."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.withColumn("tokens", tokens).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("tokens"), 2).alias("avg_tokens"),
+        F.max("tokens").alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@_register(
+    "docs_quality_score",
+    """
+    WITH t AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tokens,
+             length(text) AS chars,
+             (length(text) - length(replace(text, ' the ', ''))) / 5 AS stop_hits
+      FROM documents
+    )
+    SELECT lang,
+           round(avg(chars * 1.0 / tokens), 3) AS avg_word_len,
+           round(avg(stop_hits * 1.0 / tokens), 4) AS stopword_ratio,
+           count(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+)
+def docs_quality_score(spark, sf_dir):
+    """Quality scoring: avg word length + stopword ratio per lang."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    chars = F.length("text")
+    stop_hits = (chars - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5
+    return (
+        d.withColumn("tokens", tokens)
+        .withColumn("chars", chars)
+        .withColumn("stop_hits", stop_hits)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg(F.col("chars") / F.col("tokens")), 3).alias("avg_word_len"),
+            F.round(F.avg(F.col("stop_hits") / F.col("tokens")), 4).alias("stopword_ratio"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@_register(
+    "docs_lang_guess",
+    """
+    SELECT lang,
+           CASE WHEN text LIKE '% the %' OR text LIKE 'the %' THEN 'en' ELSE 'und' END AS predicted,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_lang_guess(spark, sf_dir):
+    """Language-ID heuristic (stopword n-gram), confusion counts vs labels."""
+    d = _t(spark, sf_dir, "documents")
+    predicted = F.when(
+        F.col("text").like("% the %") | F.col("text").like("the %"), "en"
+    ).otherwise("und")
+    return d.groupBy("lang", predicted.alias("predicted")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "docs_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id < 32
+    """,
+)
+def docs_fingerprints(spark, sf_dir):
+    """Document fingerprinting (content hash, cross-engine-stable md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 32).select("doc_id", F.md5("text").alias("fingerprint"))
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
+      FROM documents
+"""
+
+
+@_register(
+    "docs_top_similar_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY c * 1.0 / (sa.n + sb.n - c) DESC, doc_a, doc_b LIMIT 10
+    """,
+)
+def docs_top_similar_pairs(spark, sf_dir):
+    """N-gram (3-shingle) Jaccard near-dup: inverted-index self-join — the
+    scalable alternative to O(n²) pairwise comparison."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("__j"))
+        .orderBy(F.desc("__j"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(10)
+        .drop("__j")
+    )
+
+
+@_register(
+    "docs_minhash_bands",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id, band, min(md5(band || ':' || sh)) AS sig
+    FROM sh, range(0, 4) t(band)
+    WHERE doc_id < 24
+    GROUP BY 1, 2
+    """,
+)
+def docs_minhash_bands(spark, sf_dir):
+    """MinHash signatures (4 bands, md5 family — identical across engines);
+    LSH candidate pairs = docs sharing any (band, sig) bucket."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    bands = spark.range(0, 4).select(F.col("id").cast("long").alias("band"))
+    return (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh")))).alias("sig"))
+    )
+
+
+@_register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 4) AS sim
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate dot
+    product — no Python in the loop."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (na * nb)
+    return (
+        joined.select("vec_id", "label", sim.alias("__sim"))
+        .orderBy(F.desc("__sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("__sim", 4).alias("sim"))
+    )
+
+
+@_register(
+    "emb_centroid_norms",
+    """
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings
+    ),
+    c AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY 1, 2)
+    SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm, count(*) AS dims
+    FROM c GROUP BY 1
+    """,
+)
+def emb_centroid_norms(spark, sf_dir):
+    """Distributed vector math: per-label centroid via posexplode + two-level
+    aggregate (the shape of k-means / IVF coarse quantization at scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    c = ex.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return c.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+        F.count("*").alias("dims"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full engine over pages derived from `documents` (SQL-expressible oracle)
+# ---------------------------------------------------------------------------
+
+_PIPE_LANGS = ("en", "de", "fr", "es", "zh", "ja", "pt", "it")
+_PIPE_DENY = ("src0", "src13")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the driver's documents as pages(url, warc_ts,
+    html, text, lang); doc_id % 37 == 0 rows get malformed html (no </p>)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), F.col("doc_id"))
+    ok_html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    bad_html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body><p>"), F.col("text"), F.lit("</body></html>")
+    )
+    html = F.encode(F.when(F.col("doc_id") % 37 == 0, bad_html).otherwise(ok_html), "UTF-8")
+    return d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+@_register(
+    "pipeline_metrics",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 37 = 0 OR source IN {_PIPE_DENY} THEN 1 ELSE 0 END AS rej,
+             CASE WHEN lang IN {_PIPE_LANGS} THEN lang ELSE 'und' END AS lang_norm,
+             CASE WHEN source = 'src1' THEN 'priority' END AS rule_sink
+      FROM documents
+    ),
+    r AS (
+      SELECT CASE WHEN rej = 1 THEN 'rejected'
+                  WHEN rule_sink = 'priority' OR lang_norm = 'en'
+                       OR lang_norm IN ('zh', 'ja')
+                       OR lang_norm IN ('de', 'fr', 'es', 'it', 'pt') THEN 'acked'
+                  ELSE 'ignored' END AS status,
+             CASE WHEN rej = 1 THEN 'dead_letter'
+                  WHEN rule_sink = 'priority' THEN 'priority'
+                  WHEN lang_norm = 'en' THEN 'english'
+                  WHEN lang_norm IN ('zh', 'ja') THEN 'cjk'
+                  WHEN lang_norm IN ('de', 'fr', 'es', 'it', 'pt') THEN 'european'
+                  ELSE 'none' END AS sink
+      FROM t
+    )
+    SELECT sink, status, count(*) AS n FROM r GROUP BY 1, 2
+    """,
+)
+def pipeline_metrics(spark, sf_dir):
+    """Flagship: the full parse → enrich → route engine over pages built from
+    the driver's documents table, counts per (sink, status) — the oracle
+    replays the identical semantics in pure SQL."""
+    from shovel_spark.operators.route import SinkRule
+    from shovel_spark.pipeline import JobConfig, build_routed
+
+    pages = pages_from_documents(spark, sf_dir)
+    lang_map = spark.createDataFrame([(l, l) for l in _PIPE_LANGS], "lang_raw string, lang_norm string")
+    rules = spark.createDataFrame(
+        [(f"{s}.example.com", "deny", None) for s in _PIPE_DENY]
+        + [("src1.example.com", "allow", "priority")],
+        "domain string, action string, sink string",
+    )
+    cfg = JobConfig(
+        name="docs_pipeline",
+        n_buckets=16,
+        sink_rules=[
+            SinkRule("priority", F.col("rule_sink") == "priority"),
+            SinkRule("english", F.col("lang_norm") == "en"),
+            SinkRule("cjk", F.col("lang_norm").isin("zh", "ja")),
+            SinkRule("european", F.col("lang_norm").isin("de", "fr", "es", "it", "pt")),
+        ],
+    )
+    routed = build_routed(pages, lang_map, rules, cfg)
+    return routed.groupBy(
+        F.coalesce(F.col("sink"), F.lit("none")).alias("sink"), F.col("status")
+    ).agg(F.count("*").alias("n"))
