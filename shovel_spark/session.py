@@ -28,6 +28,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Quieter local runs.
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # local-mode driver == executor JVM; the 1g default thrashes GC with
+    # 32 concurrent tasks over wide html rows. (Cluster deploys size
+    # executor memory per-node instead.)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
