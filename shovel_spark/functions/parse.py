@@ -38,7 +38,9 @@ def parse_html_pandas(html: pd.Series) -> pd.DataFrame:
     per-row Python. ``errors`` on decode and missing body markers become
     ``ok=False`` rows (dead-letter path) instead of exceptions.
     """
-    s = html.str.decode("utf-8", errors="strict")
+    # 'replace' mirrors both the JVM decode path and the reference's
+    # Buffer.toString (neither throws on malformed bytes; both emit U+FFFD)
+    s = html.str.decode("utf-8", errors="replace")
 
     title = s.str.extract(_TITLE_RE, expand=False)
     body = s.str.extract(_BODY_RE, expand=False)
@@ -51,17 +53,44 @@ def parse_html_pandas(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"text": body, "title": title, "ok": ok, "error": error})
 
 
-def parse_html_native(html: Column) -> Column:
-    """JVM-only equivalent: decode + regexp inside whole-stage codegen.
+def parse_html_regex(html: Column) -> Column:
+    """JVM regexp variant: decode + regexp inside whole-stage codegen.
 
-    Identical output to :func:`parse_html_pandas` (property-tested); this is
-    the throughput path at 100 TB — zero Python, zero Arrow transfer.
+    Identical output to :func:`parse_html_pandas`; kept as the grok/regex
+    reference implementation. The non-greedy ``(.*?)`` backtracks O(n²) on
+    rows missing ``</p>`` — prefer :func:`parse_html_native` in the hot path.
     """
     s = F.decode(html, "UTF-8")
     ok = s.rlike(_BODY_RE)
     text = F.when(ok, F.regexp_extract(s, _BODY_RE, 1))
     title_ok = s.rlike(_TITLE_RE)
     title = F.when(title_ok, F.regexp_extract(s, _TITLE_RE, 1))
+    error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))
+    return F.struct(
+        text.alias("text"), title.alias("title"), ok.alias("ok"), error.alias("error")
+    )
+
+
+def _span(s: Column, open_tag: str, close_tag: str) -> tuple[Column, Column]:
+    """(ok, content) between the first open_tag and the next close_tag after
+    it — linear-time locate/substring, no regex backtracking."""
+    i = F.instr(s, open_tag)  # 1-based; 0 = absent
+    j = F.call_function("locate", F.lit(close_tag), s, i + len(open_tag))
+    ok = (i > 0) & (j > 0)
+    content = F.when(ok, F.substring(s, i + len(open_tag), j - i - len(open_tag)))
+    return ok, content
+
+
+def parse_html_native(html: Column) -> Column:
+    """JVM-only fast path: decode + locate/substring, fully codegen'd.
+
+    Identical output to :func:`parse_html_pandas` (property-tested); this is
+    the throughput path at 100 TB — zero Python, zero Arrow transfer, and
+    linear-time even on malformed rows.
+    """
+    s = F.decode(html, "UTF-8")
+    ok, text = _span(s, "<p>", "</p>")
+    _t_ok, title = _span(s, "<title>", "</title>")
     error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))
     return F.struct(
         text.alias("text"), title.alias("title"), ok.alias("ok"), error.alias("error")
@@ -80,7 +109,11 @@ def parse_pages(df: DataFrame, impl: str = "native") -> DataFrame:
     (reference: src/core/utils.js:104) is wall-clock+random and would break
     routed-row equality across runs (SURVEY.md §1.1).
     """
-    parser = {"native": parse_html_native, "pandas": parse_html_pandas}[impl]
+    parser = {
+        "native": parse_html_native,
+        "regex": parse_html_regex,
+        "pandas": parse_html_pandas,
+    }[impl]
     return (
         df.withColumn("uuid", F.sha2(F.col("url"), 256))
         .withColumn("domain", domain_of(F.col("url")))

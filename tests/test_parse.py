@@ -30,10 +30,11 @@ def test_byte_identical_text_per_url(spark):
         assert r["text"].encode("utf-8") in bytes(r["html"])
 
 
-def test_native_and_pandas_parsers_agree(spark):
+def test_all_parser_impls_agree(spark):
     a = _parsed(spark, "pandas").select("url", "text", "title", "ok").sort("url").collect()
     b = _parsed(spark, "native").select("url", "text", "title", "ok").sort("url").collect()
-    assert a == b
+    c = _parsed(spark, "regex").select("url", "text", "title", "ok").sort("url").collect()
+    assert a == b == c
 
 
 def test_malformed_html_flagged_not_crashed(spark):
