@@ -1,0 +1,140 @@
+"""Declarative job config — the YAML pipeline spec, Spark-first.
+
+Shovel wires its six node slots from YAML with ``${ENV:default}``
+substitution and per-node validated options (reference:
+src/core/pipeline_config.js:30-54, src/core/node.js:316-325). Here the same
+declarative surface compiles to the DataFrame chain: sink predicates are SQL
+expressions (Catalyst-visible → pushdown/codegen), lookups are inline maps or
+parquet paths, and validation happens at load time (config error ≙ analysis
+error, never mid-job).
+
+Example::
+
+    name: pages
+    input: { path: /data/pages, format: parquet }
+    parser: native            # native | regex | pandas
+    buckets: 64
+    out_dir: ${OUT_DIR:/tmp/shovel_out}
+    lang_map: { en: en, en-US: en, fr: fr }
+    lang_default: und
+    domain_rules:
+      - { domain: spam.badsite.biz, action: deny }
+      - { domain: news.example.com, action: allow, sink: hot }
+    sinks:
+      - { name: hot, predicate: "rule_sink = 'hot'" }
+      - { name: english, predicate: "lang_norm = 'en'" }
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shovel_spark.operators.route import SinkRule
+from shovel_spark.pipeline import JobConfig, substitute_env
+
+_VALID_PARSERS = ("native", "regex", "pandas")
+
+
+@dataclass
+class PipelineSpec:
+    """Validated job spec; ``compile`` yields the runnable pieces."""
+
+    name: str
+    input_path: str | None
+    out_dir: str
+    parser: str = "native"
+    buckets: int = 64
+    lang_map: dict[str, str] = field(default_factory=dict)
+    lang_default: str = "und"
+    domain_rules: list[dict[str, Any]] = field(default_factory=list)
+    sinks: list[dict[str, str]] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "PipelineSpec":
+        raw = _substitute_deep(raw)
+        errors: list[str] = []
+        name = raw.get("name") or "pages"
+        inp = raw.get("input") or {}
+        out_dir = raw.get("out_dir")
+        if not out_dir:
+            errors.append("out_dir is required")
+        parser = raw.get("parser", "native")
+        if parser not in _VALID_PARSERS:
+            errors.append(f"parser must be one of {_VALID_PARSERS}, got {parser!r}")
+        buckets = int(raw.get("buckets", 64))
+        if buckets < 1:
+            errors.append("buckets must be >= 1")
+        sinks = raw.get("sinks") or []
+        seen: set[str] = set()
+        for s in sinks:
+            if not s.get("name") or not s.get("predicate"):
+                errors.append(f"sink needs name+predicate: {s}")
+            elif s["name"] in seen:
+                errors.append(f"duplicate sink name: {s['name']}")
+            else:
+                seen.add(s["name"])
+        for r in raw.get("domain_rules") or []:
+            if r.get("action") not in ("allow", "deny"):
+                errors.append(f"domain_rule action must be allow|deny: {r}")
+        if errors:
+            raise ValueError("invalid pipeline spec: " + "; ".join(errors))
+        return cls(
+            name=name,
+            input_path=inp.get("path"),
+            out_dir=out_dir,
+            parser=parser,
+            buckets=buckets,
+            lang_map=dict(raw.get("lang_map") or {}),
+            lang_default=raw.get("lang_default", "und"),
+            domain_rules=list(raw.get("domain_rules") or []),
+            sinks=list(sinks),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineSpec":
+        """YAML or JSON file (YAML needs pyyaml; JSON always works)."""
+        with open(path) as f:
+            text = f.read()
+        if path.endswith(".json"):
+            return cls.from_dict(json.loads(text))
+        import yaml
+
+        return cls.from_dict(yaml.safe_load(text))
+
+    def job_config(self) -> JobConfig:
+        rules = [SinkRule(s["name"], F.expr(s["predicate"])) for s in self.sinks]
+        return JobConfig(
+            name=self.name,
+            input_path=self.input_path,
+            out_dir=self.out_dir,
+            parser_impl=self.parser,
+            n_buckets=self.buckets,
+            sink_rules=rules,
+        )
+
+    def lang_map_df(self, spark: SparkSession) -> DataFrame:
+        rows = list(self.lang_map.items()) or [("", "")]
+        return spark.createDataFrame(rows, "lang_raw string, lang_norm string")
+
+    def domain_rules_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (r["domain"], r["action"], r.get("sink")) for r in self.domain_rules
+        ] or [("", "allow", None)]
+        return spark.createDataFrame(rows, "domain string, action string, sink string")
+
+
+def _substitute_deep(value):
+    """${ENV:default} substitution through nested config (reference:
+    src/core/pipeline_config.js:42-54)."""
+    if isinstance(value, str):
+        return substitute_env(value)
+    if isinstance(value, dict):
+        return {k: _substitute_deep(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_substitute_deep(v) for v in value]
+    return value

@@ -1,0 +1,98 @@
+"""Config compiler + CLI end-to-end (the shovel --pipeline analog)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from shovel_spark.config import PipelineSpec
+from shovel_spark.synth import synth_pages
+
+SPEC_YAML = """
+name: demo
+input: {{ path: {input_path} }}
+parser: native
+buckets: 8
+out_dir: ${{DEMO_OUT:{out_dir}}}
+lang_map: {{ en: en, en-US: en, fr: fr, FR: fr, de: de }}
+domain_rules:
+  - {{ domain: spam.badsite.biz, action: deny }}
+  - {{ domain: evil.badsite.biz, action: deny }}
+  - {{ domain: news.example.com, action: allow, sink: hot }}
+sinks:
+  - {{ name: hot, predicate: "rule_sink = 'hot'" }}
+  - {{ name: english, predicate: "lang_norm = 'en'" }}
+  - {{ name: european, predicate: "lang_norm in ('fr','de')" }}
+"""
+
+
+def test_spec_validation_errors():
+    with pytest.raises(ValueError, match="out_dir"):
+        PipelineSpec.from_dict({"name": "x"})
+    with pytest.raises(ValueError, match="parser"):
+        PipelineSpec.from_dict({"out_dir": "/tmp/x", "parser": "bogus"})
+    with pytest.raises(ValueError, match="duplicate sink"):
+        PipelineSpec.from_dict(
+            {
+                "out_dir": "/tmp/x",
+                "sinks": [
+                    {"name": "a", "predicate": "1=1"},
+                    {"name": "a", "predicate": "2=2"},
+                ],
+            }
+        )
+    with pytest.raises(ValueError, match="action"):
+        PipelineSpec.from_dict({"out_dir": "/tmp/x", "domain_rules": [{"domain": "d", "action": "zap"}]})
+
+
+def test_env_substitution(monkeypatch):
+    monkeypatch.setenv("MY_OUT", "/tmp/from_env")
+    spec = PipelineSpec.from_dict({"out_dir": "${MY_OUT:/tmp/default}"})
+    assert spec.out_dir == "/tmp/from_env"
+    monkeypatch.delenv("MY_OUT")
+    spec = PipelineSpec.from_dict({"out_dir": "${MY_OUT:/tmp/default}"})
+    assert spec.out_dir == "/tmp/default"
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """Run the CLI as a subprocess — the real user surface — twice:
+    crash-limited (--max-buckets) then resume; totals must cover all rows."""
+    input_path = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    synth_pages(spark, 1500, seed=31).write.parquet(input_path)
+    spec_path = tmp_path / "job.yaml"
+    spec_path.write_text(SPEC_YAML.format(input_path=input_path, out_dir=out_dir))
+
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+
+    def run(*extra):
+        cmd = [sys.executable, "-m", "shovel_spark.cli", "--pipeline", str(spec_path),
+               "--master", "local[2]", "--shuffle-partitions", "2", *extra]
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    first = run("--max-buckets", "3")
+    assert first["processed_buckets"] == 3
+    second = run()
+    assert second["skipped_buckets"] == 3
+    assert second["totals"]["in_rows"] == 1500
+    t = second["totals"]
+    assert t["acked"] + t["ignored"] + t["rejected"] == 1500
+
+
+def test_package_zip_importable(tmp_path):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.package import build
+
+    zip_path = build(f"dist/test_{os.getpid()}.zip")
+    import zipfile
+
+    names = zipfile.ZipFile(zip_path).namelist()
+    assert "shovel_spark/pipeline.py" in names
+    assert "shovel_spark/cli.py" in names
+    os.remove(zip_path)

@@ -1,0 +1,64 @@
+"""Streaming pipeline: incremental consumption + equality with the batch run.
+
+The stream checkpoint is the broker-ack analog: files consumed once are never
+reprocessed across restarts (reference semantics: src/inputs/amqp.js:101-112
+unacked replay / at-least-once)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from shovel_spark.pipeline import JobConfig, build_routed
+from shovel_spark.streaming.pipeline import run_stream_once
+from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+N1, N2, SEED = 1200, 800, 23
+
+
+def _sink_urls(spark, out_dir, sink):
+    return {
+        r["url"]
+        for r in spark.read.parquet(os.path.join(out_dir, f"sink_{sink}")).select("url").collect()
+    }
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    cfg = JobConfig(out_dir=out_dir, n_buckets=8)
+
+    # chunk 1 arrives
+    chunk1 = synth_pages(spark, N1, seed=SEED)
+    chunk1.write.mode("append").parquet(in_dir)
+    run_stream_once(spark, in_dir, lm, dr, cfg, ckpt)
+    got1 = _sink_urls(spark, out_dir, "english")
+
+    # chunk 2 arrives; resumed stream must process ONLY the new files
+    chunk2 = synth_pages(spark, N2, seed=SEED + 1)
+    chunk2.write.mode("append").parquet(in_dir)
+    run_stream_once(spark, in_dir, lm, dr, cfg, ckpt)
+    got = _sink_urls(spark, out_dir, "english")
+    assert got1 <= got
+
+    # equality with the one-shot batch chain over the same union
+    batch = build_routed(chunk1.unionByName(chunk2), lm, dr, cfg)
+    want = {r["url"] for r in batch.filter(F.col("sink") == "english").select("url").collect()}
+    assert got == want
+
+    # no double-routing: consumed files were not re-read on resume
+    df = spark.read.parquet(os.path.join(out_dir, "sink_english"))
+    assert df.count() == df.select("url").distinct().count()
+
+
+def test_windowed_metrics_stream_schema(spark, tmp_path):
+    from shovel_spark.streaming.pipeline import read_pages_stream, windowed_metrics_stream
+
+    in_dir = str(tmp_path / "pages_in2")
+    synth_pages(spark, 500, seed=5).write.mode("append").parquet(in_dir)
+    m = windowed_metrics_stream(read_pages_stream(spark, in_dir))
+    assert m.isStreaming
+    assert set(m.columns) == {"window_start", "window_end", "lang", "n"}
