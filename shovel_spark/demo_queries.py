@@ -800,3 +800,190 @@ def pipeline_metrics(spark, sf_dir):
     return routed.groupBy(
         F.coalesce(F.col("sink"), F.lit("none")).alias("sink"), F.col("status")
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data library operators (operators/dedup.py, operators/similarity.py,
+# functions/textstats.py, io/multimodal.py) surfaced as queries
+# ---------------------------------------------------------------------------
+
+@_register(
+    "docs_exact_dedup_keep",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM unioned GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+    )
+    SELECT lang, count(*) AS n_kept
+    FROM unioned WHERE doc_id IN (SELECT doc_id FROM keep) GROUP BY 1
+    """,
+)
+def docs_exact_dedup_keep(spark, sf_dir):
+    """exact_dedup operator: duplicate the corpus (ids shifted), dedup must
+    keep exactly the original (lowest-id) rows."""
+    from shovel_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    return exact_dedup(both).groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+_LANGID_SQL_SCORES = {
+    "en": "the|and|of|to|is|in|that|it",
+    "fr": "le|la|les|de|et|est|que|une",
+    "de": "der|die|das|und|ist|nicht|ein|zu",
+    "es": "el|la|los|de|que|es|una|por",
+}
+_LANGID_SCORE_EXPRS = ", ".join(
+    f"len(regexp_extract_all(text, '(?i)\\b({words})\\b')) * 1.0 / "
+    f"greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS s_{lang}"
+    for lang, words in _LANGID_SQL_SCORES.items()
+)
+
+
+@_register(
+    "docs_langid_confusion",
+    f"""
+    WITH s AS (SELECT lang, {_LANGID_SCORE_EXPRS} FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0.02 THEN 'und'
+             WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es' END AS predicted
+      FROM s
+    )
+    SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2
+    """,
+)
+def docs_langid_confusion(spark, sf_dir):
+    """textstats.lang_id (stopword-profile argmax) confusion matrix vs the
+    labeled lang column; the oracle replays the identical argmax + tie rule."""
+    from shovel_spark.functions.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", lang_id(F.col("text")).alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@_register(
+    "docs_quality_stats",
+    """
+    WITH q AS (
+      SELECT lang,
+        round((
+          (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+          (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1)) +
+          (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0, 6) AS q
+      FROM documents
+    )
+    SELECT lang, round(avg(q), 4) AS avg_quality, round(min(q), 4) AS min_quality,
+           count(*) AS n_docs
+    FROM q GROUP BY 1
+    """,
+)
+def docs_quality_stats(spark, sf_dir):
+    """textstats.quality_score (C4/Gopher-style bands) — per-lang stats; the
+    oracle reproduces the exact formula."""
+    from shovel_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("q", quality_score(F.col("text"))).groupBy("lang").agg(
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.min("q"), 4).alias("min_quality"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _near_dup_corpus(spark, sf_dir):
+    """Deterministic near-dups from driver data: each doc < 40 gets a copy
+    (id+100000) with its first word dropped."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 40)
+    edited = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text",
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " "),
+    )
+    return d.unionByName(edited)
+
+
+@_register("docs_minhash_near_dups")  # rows-only: xxhash64 has no DuckDB twin
+def docs_minhash_near_dups(spark, sf_dir):
+    """minhash_dedup_pairs operator (MinHash → banded LSH → exact-Jaccard
+    verify) on a corpus with planted near-dups: every planted pair (i, i+1e5)
+    must surface; jaccard values are exact."""
+    from shovel_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _near_dup_corpus(spark, sf_dir), threshold=0.5, num_hashes=16, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@_register("docs_simhash_near_dups")  # rows-only: xxhash64-based
+def docs_simhash_near_dups(spark, sf_dir):
+    """simhash_near_dup_pairs (64-bit SimHash, block-LSH candidates,
+    hamming verify) on the planted near-dup corpus."""
+    from shovel_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir), max_hamming=12
+    ).orderBy("id_a", "id_b")
+
+
+@_register("emb_lsh_near_dups")  # rows-only: md5-derived hyperplanes
+def emb_lsh_near_dups(spark, sf_dir):
+    """embedding_near_dup_pairs (random-hyperplane LSH buckets + exact cosine
+    verify) on embeddings ∪ slightly-perturbed copies."""
+    from shovel_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    perturbed = e.withColumn("vec_id", F.col("vec_id") + 100000).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 1.0001)
+    )
+    pairs = embedding_near_dup_pairs(
+        e.unionByName(perturbed), threshold=0.999, planes=6
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register("emb_ivf_topk")  # rows-only: multi-stage IVF plan
+def emb_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: label centroids (posexplode-avg), probe the 3
+    best cells, exact cosine within them."""
+    from shovel_spark.operators.similarity import centroids_from_labels, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = centroids_from_labels(e)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=10, nprobe=3)
+    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+@_register("multimodal_image_features")  # rows-only: mapInPandas feature UDF
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as opaque media payloads →
+    mapInPandas feature extraction (stub decode; real batch shape)."""
+    from shovel_spark.io.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("data")
+    )
+    return extract_image_features(media).select(
+        "media_id", "width", "height", "n_bytes", F.round("byte_entropy", 4).alias("entropy")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis functions for training-data pipelines — all native Column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path).
+
+These extend the engine beyond the reference's operator set (SURVEY.md §2.8):
+a 100 TB web-text pipeline needs token counts, quality scores, language ID,
+and content fingerprints at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny stopword profiles for the n-gram/stopword language-ID heuristic.
+#: Real deployments would broadcast a bigger profile table; the *shape*
+#: (per-language evidence score → argmax) is the scalable part.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish sub-word proxy: words + punctuation marks counted separately
+    (a cheap, deterministic stand-in for a real tokenizer's token count)."""
+    words = F.size(F.array_remove(F.split(F.trim(text), r"[\s\p{Punct}]+"), ""))
+    puncts = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return words + puncts
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any profile word as a whole token."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(1)))
+
+
+def lang_id(text: Column, profiles: dict[str, list[str]] | None = None, default: str = "und") -> Column:
+    """Argmax over per-language stopword-evidence scores; ties/zero → default.
+
+    One pass of regexp counting per language — at scale this is a map-only
+    stage fused into the scan (no shuffle, no UDF).
+    """
+    profiles = profiles or LANG_PROFILES
+    toks = token_count(text)
+    best_score = F.lit(0.0)
+    best_lang = F.lit(default)
+    for lang, words in profiles.items():
+        score = stopword_hits(text, words) / F.greatest(toks, F.lit(1))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return F.when(best_score > 0.02, best_lang).otherwise(F.lit(default))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic — the shape of C4/Gopher-style
+    filters: length band + alphabetic-word-length band + alpha ratio +
+    punctuation band, equally weighted."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    avg_alpha_word = n_alpha / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    word_ok = F.when((avg_alpha_word >= 2.0) & (avg_alpha_word <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(n_punct / F.greatest(n_chars, F.lit(1)) <= 0.2, 1.0).otherwise(0.0)
+    return F.round((length_ok + word_ok + alpha_ratio + punct_ok) / 4.0, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized text."""
+    return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: min hash over rolling word
+    windows — stable under small edits far from the minimum."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_min(grams)

@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+All shuffle-conscious (SURVEY.md "would this survive 100×?"):
+  - exact dedup: one hash-shuffle on a 16-byte fingerprint, never on text;
+  - MinHash/LSH: candidate generation is an equi-join on (band, signature)
+    buckets — the only pairs materialized are bucket collisions, not n²;
+  - super-common shingles are dropped (document-frequency cap) so one boiler-
+    plate phrase can't create a quadratic hot bucket (skew defense);
+  - verification joins fetch shingle sets only for candidate pairs.
+
+No Python in any of these paths — everything is Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from shovel_spark.functions.textstats import fingerprint, tokens
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (lowest id) per normalized-content fingerprint.
+
+    groupBy on the md5 fingerprint: the shuffle carries (16-byte key, id),
+    not document bodies; survivors join back to fetch their rows.
+    """
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingles (shared by MinHash / Jaccard) ---------------------------------
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle) pairs: distinct k-word shingles per document.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs —
+    boilerplate phrases otherwise create quadratic join buckets at scale.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    if max_doc_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = sh.withColumn("__df", F.count("*").over(w)).filter(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
+    return sh
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
+
+    Inverted-index self-join: pairs only materialize where a shingle is
+    shared. Exact (not approximate) — use MinHash/LSH below when even the
+    inverted index is too hot.
+    """
+    sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<long>) — num_hashes MinHash values per document.
+
+    One aggregation: min over xxhash64(seed_i, shingle) per seed, computed
+    as an array fold — no explode of the hash family.
+    """
+    hashes = F.array(
+        *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)]
+    )
+    return (
+        sh.select(F.col(id_col), hashes.alias("h"))
+        .groupBy(id_col)
+        .agg(
+            F.array(
+                *[F.min(F.element_at("h", i + 1)).alias(f"m{i}") for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-slice of their signature become a
+    candidate pair. Join key is (band, hash-of-slice) — equi-join, shuffle
+    on a compact key, AQE handles residual bucket skew."""
+    n = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = max(1, n // bands)
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Full MinHash→LSH→verify chain: candidates from band buckets, then
+    exact Jaccard verification on candidates only."""
+    sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, (cand.id_b == F.col(f"b.{id_col}")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens: per bit, sign of the sum of token-hash bits.
+
+    Vectorized as an aggregate over the token array — bit i of xxhash64(token)
+    contributes +1/-1; the sign vector packs back into one long.
+    """
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        # sum over tokens of (bit set ? 1 : -1) > 0  → bit i of the simhash
+        votes = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i if i < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = F.lit(0).cast("long")
+    for b in bit_cols:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-ball near-dup via the block trick: split the simhash into
+    ``blocks`` chunks; any pair within ``max_hamming < blocks`` must agree on
+    ≥1 whole chunk → candidates from an equi-join on (block, chunk value),
+    verified with bit_count(xor) — never n².
+    """
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sims = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    chunks = sims.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("sh", b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "sh", "bc.block", "bc.chunk")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    ham = F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+    return (
+        x.join(
+            y,
+            (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: sign-pattern bucket join,
+    then exact cosine on candidates (see similarity.py for the primitives)."""
+    from shovel_spark.operators.similarity import cosine, hyperplane_signature
+
+    sig = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("sig")
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    sim = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    return (
+        x.join(y, (F.col("x.sig") == F.col("y.sig")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

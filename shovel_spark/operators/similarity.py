@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns — brute-force cosine top-k as the
+exact baseline, random-hyperplane LSH and IVF as the scale paths.
+
+All vector math is JVM-side (``zip_with`` / ``aggregate`` higher-order
+functions over ``array<float>``) — no Python, no UDF. At 10^9+ vectors the
+brute-force path is a broadcast-join map-only scan (fine for one query),
+LSH/IVF cut the scanned fraction for query *batches*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    Map-only scan + TakeOrderedAndProject: each partition keeps its local
+    top-k, the driver merges — no shuffle of the corpus.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- random-hyperplane LSH ----------------------------------------------------
+
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a seed (no RNG state —
+    reproducible across runs/executors, like everything else here)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}:{j}".encode()).digest()
+        out.append(int.from_bytes(h[:4], "big", signed=True) / 2**31)
+    return out
+
+
+def hyperplane_signature(vec: Column, planes: int = 12, dim: int = 64, seed: int = 7) -> Column:
+    """Sign pattern of the vector against ``planes`` fixed hyperplanes,
+    packed into one long — the LSH bucket key. Vectors with high cosine
+    similarity collide with high probability."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, seed * 1000 + p)])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    planes: int = 8, dim: int = 64, seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket, exact cosine
+    inside it. Bucket size ≈ n/2^planes — the tunable recall/cost knob.
+    (Production variant: multiple hash tables for recall; same plumbing.)"""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig_row = (
+        df.sparkSession.range(1)
+        .select(hyperplane_signature(q, planes, dim, seed).alias("s"))
+        .first()
+    )
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.withColumn("__sig", hyperplane_signature(F.col(vec_col), planes, dim, seed))
+        .filter(F.col("__sig") == qsig_row["s"])
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF (inverted file / coarse quantization) ---------------------------------
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    centroid_vec: str = "centroid", centroid_id: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast crossJoin +
+    min-by): the build side of an IVF index. At scale, write the output
+    partitioned by cell — queries then scan only nprobe cells."""
+    joined = df.crossJoin(F.broadcast(centroids))
+    d = cosine(F.col(vec_col), F.col(centroid_vec))
+    w = F.struct(d.alias("sim"), F.col(centroid_id).alias("cell"))
+    return (
+        joined.groupBy(id_col)
+        .agg(F.max(w).alias("best"))
+        .select(id_col, F.col("best.cell").alias("cell"), F.col("best.sim").alias("centroid_sim"))
+    )
+
+
+def centroids_from_labels(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vectors via posexplode + two-level aggregate — the
+    distributed centroid computation (k-means E-step shape)."""
+    ex = df.select(F.col(label_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v"))
+    c = ex.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return c.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame, centroids: DataFrame, query_vec: list[float], k: int = 10,
+    nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: rank cells by centroid similarity, scan the top ``nprobe``
+    cells only, exact cosine within them."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    top_cells = [
+        r["cell"]
+        for r in centroids.select("cell", cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.join(assigned.filter(F.col("cell").isin(top_cells)).select(id_col), id_col, "left_semi")
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

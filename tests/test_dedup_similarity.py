@@ -1,0 +1,134 @@
+"""Dedup + similarity operators vs plain-Python oracles on known corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from shovel_spark.operators import dedup, similarity
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until done"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+    (3, "completely different content about spark query engines and shuffles here"),
+    (4, "the   quick brown fox jumps over the lazy dog again and again until done"),  # ws-normalized dup
+    (5, "unrelated short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_keeps_canonical(docs):
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(docs).collect())
+    # 1 and 4 are (normalized-)exact dups of 0
+    assert kept == [0, 2, 3, 5]
+
+
+def test_ngram_jaccard_matches_python_oracle(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    want = {}
+    for i, ta in DOCS:
+        for j, tb in DOCS:
+            if i < j:
+                jac = _py_jaccard(ta, tb)
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for pair, jac in want.items():
+        assert abs(got[pair] - jac) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup: 8 bands of 2 is generous
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_jaccard_verified_values(docs):
+    rows = dedup.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=8).collect()
+    for r in rows:
+        want = _py_jaccard(DOCS[r.id_a][1], DOCS[r.id_b][1])
+        assert abs(r.jaccard - want) < 1e-9
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dup_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs  # identical text -> hamming 0
+    assert all(p != (0, 3) and p != (0, 5) for p in pairs)
+    ham0_2 = [r.hamming for r in dedup.simhash_near_dup_pairs(docs, max_hamming=64).collect() if (r.id_a, r.id_b) == (0, 1)]
+    assert ham0_2 == [0]
+
+
+def _py_cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_python(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: list(r.embedding) for r in e.collect()}
+    q = rows[0]
+    want = sorted(
+        ((vid, _py_cosine(v, q)) for vid, v in rows.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = similarity.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10).collect()
+    assert [r.vec_id for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r.sim - w[1]) < 1e-6
+
+
+def test_lsh_topk_subset_of_bucket_and_high_recall(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=5).collect()]
+    approx = [r.vec_id for r in similarity.lsh_topk(e.filter(F.col("vec_id") != 0), q, k=5, planes=4).collect()]
+    # approximate: must return *something* from the right bucket and rank by
+    # true cosine within it; with 4 planes recall should be decent
+    assert approx
+    assert len(set(approx) & set(exact)) >= 1
+
+
+def test_ivf_topk_with_label_centroids(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.centroids_from_labels(e)
+    assert cents.count() == 10
+    dims = cents.select(F.size("centroid").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64]
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    got = similarity.ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=5, nprobe=3).collect()
+    assert len(got) == 5
+    exact = [r.vec_id for r in similarity.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=5).collect()]
+    assert len({r.vec_id for r in got} & set(exact)) >= 2  # nprobe=3/10 cells
+
+
+def test_hyperplane_signature_deterministic(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    a = e.select("vec_id", similarity.hyperplane_signature(F.col("embedding")).alias("s")).collect()
+    b = e.select("vec_id", similarity.hyperplane_signature(F.col("embedding")).alias("s")).collect()
+    assert sorted(a) == sorted(b)
