@@ -562,6 +562,20 @@ def docs_fingerprints(spark, sf_dir):
     return d.filter(F.col("doc_id") < 32).select("doc_id", F.md5("text").alias("fingerprint"))
 
 
+def _spark_shingles(d, k: int = 3):
+    """(doc_id, sh) distinct word-3-gram pairs; token array materialized
+    behind a projection boundary (no CSE inside higher-order lambdas —
+    an inlined split would re-tokenize per shingle, measured 15x slower)."""
+    base = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__w"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))),
+            lambda i: F.array_join(F.slice("__w", i + 1, k), " "),
+        )
+    )
+    return base.select("doc_id", F.explode(shingles).alias("sh"))
+
+
 _SHINGLE_SQL = """
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
@@ -594,16 +608,7 @@ def docs_top_similar_pairs(spark, sf_dir):
     """N-gram (3-shingle) Jaccard near-dup: inverted-index self-join — the
     scalable alternative to O(n²) pairwise comparison."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
-            ),
-        )
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = _spark_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -639,16 +644,7 @@ def docs_minhash_bands(spark, sf_dir):
     """MinHash signatures (4 bands, md5 family — identical across engines);
     LSH candidate pairs = docs sharing any (band, sig) bucket."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i + 1), F.element_at(words, i + 2), F.element_at(words, i + 3)
-            ),
-        )
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = _spark_shingles(d)
     bands = spark.range(0, 4).select(F.col("id").cast("long").alias("band"))
     return (
         sh.crossJoin(F.broadcast(bands))
@@ -986,4 +982,120 @@ def multimodal_image_features(spark, sf_dir):
     )
     return extract_image_features(media).select(
         "media_id", "width", "height", "n_bytes", F.round("byte_entropy", 4).alias("entropy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-mode routing, grouping sets, window frames, approximate aggs
+# ---------------------------------------------------------------------------
+
+@_register(
+    "broadcast_sink_counts",
+    """
+    WITH nonerr AS (SELECT * FROM events WHERE event_type != 'error'),
+    m AS (
+      SELECT 'billing' AS sink, value FROM nonerr WHERE event_type = 'purchase'
+      UNION ALL SELECT 'crm', value FROM nonerr WHERE event_type = 'signup'
+      UNION ALL SELECT 'analytics', value FROM nonerr WHERE value >= 20
+      UNION ALL SELECT 'bigval', value FROM nonerr WHERE value >= 150
+      UNION ALL SELECT 'dead_letter', value FROM events WHERE event_type = 'error'
+    )
+    SELECT sink, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM m GROUP BY 1
+    """,
+)
+def broadcast_sink_counts(spark, sf_dir):
+    """Broadcast-mode dispatch (reference: src/outputs/pipeline.js mode=
+    broadcast): one row reaches EVERY matching sink — when-array + explode,
+    rejects trump everything."""
+    ev = _t(spark, sf_dir, "events")
+    err = F.col("event_type") == "error"
+    matches = F.array_compact(
+        F.array(
+            F.when(F.col("event_type") == "purchase", F.lit("billing")),
+            F.when(F.col("event_type") == "signup", F.lit("crm")),
+            F.when(F.col("value") >= 20, F.lit("analytics")),
+            F.when(F.col("value") >= 150, F.lit("bigval")),
+        )
+    )
+    sinks = F.when(err, F.array(F.lit("dead_letter"))).otherwise(matches)
+    return (
+        ev.select(F.explode(sinks).alias("sink"), F.col("value"))
+        .groupBy("sink")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_register(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status(spark, sf_dir):
+    """Full cube grouping sets (all subtotal combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@_register(
+    "moving_avg_peak",
+    """
+    WITH m AS (
+      SELECT user_id,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+      FROM events
+    )
+    SELECT user_id, round(max(ma), 3) AS peak_3evt_avg FROM m GROUP BY 1
+    """,
+)
+def moving_avg_peak(spark, sf_dir):
+    """Analytic window frame (ROWS BETWEEN): peak 3-event moving average."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return (
+        ev.withColumn("ma", F.avg("value").over(w))
+        .groupBy("user_id")
+        .agg(F.round(F.max("ma"), 3).alias("peak_3evt_avg"))
+    )
+
+
+@_register(
+    "value_deciles",
+    """
+    WITH d AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT decile, count(*) AS n, round(avg(value), 3) AS avg_value
+    FROM d GROUP BY 1
+    """,
+)
+def value_deciles(spark, sf_dir):
+    """ntile ranking window (global sort — fine for bounded outputs; at
+    10^12 rows use approx quantiles instead, see events_value_quantiles)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 3).alias("avg_value"))
+    )
+
+
+@_register("events_value_quantiles")  # rows-only: approx sketch internals differ
+def events_value_quantiles(spark, sf_dir):
+    """Approximate aggregates (SURVEY.md §2.8 'absent in reference'):
+    approx quantiles + HLL distinct — the 10^12-row substitutes for global
+    sorts and exact distincts. Accuracy vs exact is pytest-guarded."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 1).alias("p50"),
+        F.round(F.percentile_approx("value", 0.99, 10000), 1).alias("p99"),
     )

@@ -79,3 +79,27 @@ def apply_routes(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
     )
     sink = F.when(rejected, F.lit(DEAD_LETTER_SINK)).otherwise(sink_expr)
     return df.withColumn("status", status).withColumn("sink", sink)
+
+
+def apply_routes_broadcast(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
+    """Broadcast-mode dispatch (reference: src/outputs/pipeline.js:18-30,
+    ``mode: broadcast``): a row goes to EVERY sink whose predicate matches,
+    not just the first. Adds ``sinks: array<string>`` (and the same
+    ``status``); the writer filters ``array_contains(sinks, name)`` per sink
+    against the one persisted frame — matching k sinks costs k filtered
+    passes, not k scans.
+
+    Precedence mirrors :func:`apply_routes`: rejects trump everything and go
+    only to the dead-letter sink; zero matches → ignored.
+    """
+    rejected = (~F.col("parsed.ok")) | (F.col("rule_action") == "deny")
+    matched = F.array_compact(
+        F.array(*[F.when(rule.predicate, F.lit(rule.name)) for rule in sinks])
+    )
+    status = (
+        F.when(rejected, F.lit(STATUS_REJECTED))
+        .when(F.size(matched) > 0, F.lit(STATUS_ACKED))
+        .otherwise(F.lit(STATUS_IGNORED))
+    )
+    sinks_col = F.when(rejected, F.array(F.lit(DEAD_LETTER_SINK))).otherwise(matched)
+    return df.withColumn("status", status).withColumn("sinks", sinks_col)
