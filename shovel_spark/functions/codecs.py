@@ -138,6 +138,31 @@ def decode_protobuf(col: Column, message_name: str, desc_file_path: str) -> Colu
     return from_protobuf(col, message_name, desc_file_path)
 
 
+# --- content-type (reference: src/core/utils.js:69-72 parseContentType;
+# default application/octet-stream, src/core/message.js:4)
+
+def parse_content_type(col: Column) -> Column:
+    """'text/html; charset=utf-8' → struct(mime, params map) — the header
+    parse that picks decoders in the reference."""
+    mime = F.lower(F.trim(F.regexp_extract(col, r"^([^;]+)", 1)))
+    mime = F.when(mime == "", "application/octet-stream").otherwise(mime)
+    return F.struct(
+        mime.alias("mime"),
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    F.slice(F.split(F.coalesce(col, F.lit("")), ";"), 2, 100),
+                    lambda p: F.struct(
+                        F.lower(F.trim(F.element_at(F.split(p, "="), 1))).alias("key"),
+                        F.trim(F.element_at(F.split(p, "="), 2)).alias("value"),
+                    ),
+                ),
+                lambda e: (e["key"] != "") & e["value"].isNotNull(),
+            )
+        ).alias("params"),
+    )
+
+
 # --- format / template (reference: src/encoders/format.js:1-15,
 # renderTemplate src/core/utils.js:45-67)
 

@@ -99,7 +99,22 @@ def run_once(
     write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
     metrics = sink_metrics(routed, pipeline=cfg.name)
     metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+    write_dimension_counts(routed, cfg.out_dir)
     return spark.read.parquet(os.path.join(cfg.out_dir, "metrics"))
+
+
+def write_dimension_counts(routed: DataFrame, out_dir: str) -> None:
+    """Driver-mandated per-domain / per-lang aggregates (BASELINE.json
+    north_star), salted: hot domains carry ~35% of rows, so the two-phase
+    aggregate bounds any single reducer at 1/K of the hot key."""
+    from shovel_spark.operators.aggregate import salted_count
+
+    salted_count(routed, "domain", out_col="n").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "per_domain_counts")
+    )
+    salted_count(routed, "lang_norm", out_col="n").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "per_lang_counts")
+    )
 
 
 def run_resumable(

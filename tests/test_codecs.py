@@ -96,3 +96,21 @@ def test_msgpack_decoder_gated(spark):
     udf = codecs.make_msgpack_decoder("test string")
     df = spark.createDataFrame([(bytearray(_m.packb({"test": "ok"})),)], "v binary")
     assert df.select(udf(F.col("v")).alias("o")).first()["o"].test == "ok"
+
+
+def test_parse_content_type(spark):
+    """reference: parseContentType (src/core/utils.js:69-72) + default
+    application/octet-stream (src/core/message.js:4)"""
+    rows = [
+        "text/html; charset=utf-8",
+        "application/json",
+        "",
+        "Text/HTML; Charset=UTF-8; boundary=x",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "v string")
+    out = [r["o"] for r in df.select(codecs.parse_content_type(F.col("v")).alias("o")).collect()]
+    assert out[0].mime == "text/html" and out[0].params["charset"] == "utf-8"
+    assert out[1].mime == "application/json" and out[1].params == {}
+    assert out[2].mime == "application/octet-stream"
+    assert out[3].mime == "text/html" and out[3].params["charset"] == "UTF-8"
+    assert out[3].params["boundary"] == "x"

@@ -96,3 +96,17 @@ def test_package_zip_importable(tmp_path):
     assert "shovel_spark/pipeline.py" in names
     assert "shovel_spark/cli.py" in names
     os.remove(zip_path)
+
+
+def test_iceberg_surface_gated(spark):
+    """No Iceberg jar in the sandbox: the format branch must fail loudly at
+    plan time with setup guidance, and parquet must work identically."""
+    import pytest as _pytest
+
+    from shovel_spark.io.catalog import iceberg_available, read_pages
+
+    assert iceberg_available(spark) is False
+    with _pytest.raises(RuntimeError, match="iceberg runtime"):
+        read_pages(spark, "lake.web.pages", fmt="iceberg")
+    with _pytest.raises(ValueError, match="unknown format"):
+        read_pages(spark, "x", fmt="orc2")

@@ -79,3 +79,24 @@ def test_rerun_of_unacked_bucket_overwrites_not_appends(spark, tmp_path):
     # row *multiset* check: no duplicated urls from double-routing
     df = spark.read.parquet(os.path.join(cfg.out_dir, "sink_english"))
     assert df.count() == df.select("url").distinct().count()
+
+
+def test_dimension_counts_written_and_salted_equal(spark, tmp_path):
+    """north_star-mandated per-domain/per-lang salted counts as pipeline
+    outputs; must equal naive groupBy."""
+    import os
+
+    from shovel_spark.pipeline import JobConfig, build_routed, run_once
+
+    pages, lm, dr = _inputs(spark)
+    cfg = JobConfig(out_dir=str(tmp_path / "dims"), n_buckets=B)
+    run_once(spark, pages, lm, dr, cfg)
+    routed = build_routed(pages, lm, dr, cfg)
+    for dim in ("domain", "lang_norm"):
+        table = "per_domain_counts" if dim == "domain" else "per_lang_counts"
+        got = {
+            r[dim]: r["n"]
+            for r in spark.read.parquet(os.path.join(cfg.out_dir, table)).collect()
+        }
+        want = {r[dim]: r["count"] for r in routed.groupBy(dim).count().collect()}
+        assert got == want
