@@ -1099,3 +1099,44 @@ def events_value_quantiles(spark, sf_dir):
         F.round(F.percentile_approx("value", 0.5, 10000), 1).alias("p50"),
         F.round(F.percentile_approx("value", 0.99, 10000), 1).alias("p99"),
     )
+
+
+@_register(
+    "range_join_error_purchases",
+    """
+    SELECT e.user_id, count(*) AS n_pairs,
+           round(sum(p.value), 2) AS paired_value
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def range_join_error_purchases(spark, sf_dir):
+    """Range (interval) join: purchases within ±1 h of each error, per user.
+
+    Equi-join on user_id carries the shuffle; the range predicate filters
+    inside the join — at 10^12 rows you'd bucket by (user, time-bucket) to
+    keep the range join bounded; here AQE suffices.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        F.col("value"),
+    )
+    hour_us = 3600 * 1_000_000
+    return (
+        e.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") >= F.col("e_us") - hour_us)
+            & (F.col("p_us") <= F.col("e_us") + hour_us),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.sum("value"), 2).alias("paired_value"))
+    )
