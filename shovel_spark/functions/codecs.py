@@ -85,6 +85,24 @@ def assemble_multiline(df, line_col: str = "line", order_col: str = "id"):
     )
 
 
+# --- delimited stream decode: 1 payload → N records (reference:
+# src/decoders/protobuf.js:111-141 keeps a cross-message remainder buffer and
+# emits N messages per input; the batch equivalent is split + explode — the
+# "remainder" problem disappears because a batch row is a complete payload)
+
+def explode_delimited(df, payload_col: str, schema, delimiter: str = "\n", out_col: str = "record"):
+    """Split a delimited payload column and decode each piece: the 1→N
+    fan-out decode. Blank segments are dropped (framing artifacts); segments
+    that fail to decode yield a null struct (dead-letter them downstream,
+    per-record error isolation)."""
+    pieces = F.explode(
+        F.filter(F.split(F.col(payload_col).cast("string"), delimiter), lambda p: p != "")
+    ).alias("__piece")
+    return df.select("*", pieces).withColumn(
+        out_col, F.from_json(F.col("__piece"), schema)
+    ).drop("__piece")
+
+
 # --- msgpack / json5 / protobuf (Python-library codecs, Arrow-batched)
 
 def make_msgpack_decoder(schema):

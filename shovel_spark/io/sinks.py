@@ -34,12 +34,18 @@ def write_sinks(
     mode: str = "overwrite",
     output_cols: list[str] | None = None,
     fmt: str = "parquet",
+    payload_format: str | None = None,
 ) -> dict[str, str]:
     """Write each sink's rows to ``{out_dir}/sink_{name}``; returns paths.
 
     ``partition_cols`` (e.g. ``['bucket']`` or ``['dt']``) makes the write
     dynamic-partition-overwrite-able — the resume path re-writes only the
     partitions it re-processes.
+
+    ``payload_format='json'`` adds a serialized ``payload`` column — the
+    encoder-slot-at-the-sink analog (reference: src/encoders/json.js:13-35;
+    shovel encodes content right before the output delivers it). Typed sinks
+    (parquet/iceberg) don't need it; text-protocol sinks do.
     """
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     paths: dict[str, str] = {}
@@ -53,6 +59,12 @@ def write_sinks(
                     if c not in keep:
                         keep.append(c)
                 part = part.select(*keep)
+            if payload_format == "json":
+                part = part.withColumn(
+                    "payload", F.to_json(F.struct(*[c for c in part.columns]))
+                )
+            elif payload_format is not None:
+                raise ValueError(f"unknown payload_format: {payload_format!r}")
             writer = part.write.mode(mode)
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)

@@ -114,3 +114,20 @@ def test_parse_content_type(spark):
     assert out[2].mime == "application/octet-stream"
     assert out[3].mime == "text/html" and out[3].params["charset"] == "UTF-8"
     assert out[3].params["boundary"] == "x"
+
+
+def test_explode_delimited_json(spark):
+    """1→N delimited decode (reference: src/decoders/protobuf.js:111-141
+    delimited mode): one payload row fans out to N decoded records."""
+    payload = '{"k": 1}\n{"k": 2}\n\n{"k": 3}'
+    df = spark.createDataFrame([(10, payload), (20, '{"k": 9}')], "src long, v string")
+    out = codecs.explode_delimited(df, "v", "k int").select("src", "record.k").collect()
+    got = sorted((r.src, r.k) for r in out)
+    assert got == [(10, 1), (10, 2), (10, 3), (20, 9)]
+
+
+def test_explode_delimited_bad_segment_is_null_record(spark):
+    df = spark.createDataFrame([(1, '{"k": 1}\n{oops'),], "src long, v string")
+    out = codecs.explode_delimited(df, "v", "k int").collect()
+    ks = sorted([r.record.k if r.record else None for r in out], key=lambda x: (x is None, x))
+    assert ks == [1, None]

@@ -93,3 +93,21 @@ def test_metrics_shape_and_totals(routed, oracle):
         if sink == "dead_letter":
             continue  # dead-letter rows are rejected, not acked
         assert per[sink]["acked"] == n
+
+
+def test_sink_payload_encoding(spark, routed, tmp_path):
+    """Encoder-at-sink (reference: src/encoders/json.js): payload column
+    round-trips through from_json."""
+    import json
+
+    from shovel_spark.io.sinks import write_sinks
+    from shovel_spark.pipeline import OUTPUT_COLS
+
+    paths = write_sinks(
+        routed, str(tmp_path / "enc"), ["english"],
+        partition_cols=["bucket"], output_cols=OUTPUT_COLS, payload_format="json",
+    )
+    row = spark.read.parquet(paths["english"]).first()
+    decoded = json.loads(row.payload)
+    assert decoded["url"] == row.url
+    assert decoded["status"] == "acked"

@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: the optimizations the engine's scale story
+depends on must be visible in the physical plan (SURVEY.md §4) — if a code
+change silently drops a broadcast or pushdown, these fail."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shovel_spark.pipeline import JobConfig, build_routed
+from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def routed_plan(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "p")
+    synth_pages(spark, 200, seed=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    routed = build_routed(pages, default_lang_map(spark), default_domain_rules(spark), JobConfig())
+    return _plan(routed.groupBy("status", "sink").count())
+
+
+def test_lookups_are_broadcast_joins(routed_plan):
+    tree = routed_plan[: routed_plan.index("(1) ")]  # plan tree, before node details
+    assert tree.count("BroadcastHashJoin") == 2  # lang map + domain rules
+    assert "SortMergeJoin" not in routed_plan
+
+
+def test_count_plan_prunes_text_and_warc_ts(routed_plan):
+    # count-only aggregation must not read unused source columns
+    scan = routed_plan[routed_plan.index("(1) Scan parquet") :]
+    read_schema = scan[: scan.index("\n\n")]
+    assert "html" in read_schema  # needed for parse-ok routing
+    assert "warc_ts" not in read_schema
+    assert "text:" not in read_schema.replace("ReadSchema", "")
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 200, seed=2).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "en").select("url")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "ReadSchema: struct<url:string,lang:string>" in plan
+
+
+def test_whole_stage_codegen_covers_route_chain(spark, tmp_path):
+    # codegen spans only show in the AQE final plan, after execution
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 200, seed=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    df = build_routed(
+        pages, default_lang_map(spark), default_domain_rules(spark), JobConfig()
+    ).groupBy("status", "sink").count()
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes mark WholeStageCodegen spans in the executed plan
+    assert "*(" in final
+    # the route/parse projection itself is inside a codegen span
+    assert "Project [CASE WHEN" in final and "*(" in final.split("Project [CASE WHEN")[0].rsplit("+-", 1)[-1]
+
+
+def test_partial_aggregation_before_shuffle(routed_plan):
+    # map-side combine: HashAggregate below the Exchange
+    ex = routed_plan.index("Exchange")
+    assert "HashAggregate" in routed_plan[ex:]
+    assert "HashAggregate" in routed_plan[:ex]
