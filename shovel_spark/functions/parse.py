@@ -60,7 +60,7 @@ def parse_html_regex(html: Column) -> Column:
     reference implementation. The non-greedy ``(.*?)`` backtracks O(n²) on
     rows missing ``</p>`` — prefer :func:`parse_html_native` in the hot path.
     """
-    s = F.decode(html, "UTF-8")
+    s = _decode_utf8(html)
     ok = s.rlike(_BODY_RE)
     text = F.when(ok, F.regexp_extract(s, _BODY_RE, 1))
     title_ok = s.rlike(_TITLE_RE)
@@ -69,6 +69,18 @@ def parse_html_regex(html: Column) -> Column:
     return F.struct(
         text.alias("text"), title.alias("title"), ok.alias("ok"), error.alias("error")
     )
+
+
+def _decode_utf8(html: Column) -> Column:
+    """binary → string with U+FFFD replacement for invalid bytes.
+
+    NOT ``F.decode(html, 'UTF-8')``: Spark 4's decode THROWS
+    MALFORMED_CHARACTER_CODING on invalid utf-8 — one bad row would kill the
+    task instead of dead-lettering (found by hypothesis). The binary→string
+    cast replaces, matching both the pandas path (errors='replace') and the
+    reference's Buffer.toString.
+    """
+    return html.cast("string")
 
 
 def _span(s: Column, open_tag: str, close_tag: str) -> tuple[Column, Column]:
@@ -88,7 +100,7 @@ def parse_html_native(html: Column) -> Column:
     the throughput path at 100 TB — zero Python, zero Arrow transfer, and
     linear-time even on malformed rows.
     """
-    s = F.decode(html, "UTF-8")
+    s = _decode_utf8(html)
     ok, text = _span(s, "<p>", "</p>")
     _t_ok, title = _span(s, "<title>", "</title>")
     error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))

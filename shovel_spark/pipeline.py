@@ -153,6 +153,15 @@ def run_resumable(
     write_sinks(
         pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
     )
+    # per-(bucket, sink, status) metric rows, idempotent under re-runs via the
+    # same dynamic-partition-overwrite trick as the sinks themselves
+    (
+        pending.groupBy("bucket", "sink", "status")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
+    )
     counts = (
         pending.groupBy("bucket")
         .agg(
@@ -172,6 +181,26 @@ def run_resumable(
         "skipped_buckets": sorted(done),
         "elapsed_sec": time.time() - t0,
     }
+
+
+def sink_metrics_from_buckets(spark: SparkSession, out_dir: str, pipeline: str = "pages") -> DataFrame:
+    """Per-sink metrics rows (METRICS_SCHEMA shape) aggregated from the
+    idempotent per-bucket metric partitions a resumable run maintains."""
+    m = spark.read.parquet(os.path.join(out_dir, "metrics_by_bucket"))
+    per = (
+        m.filter(F.col("sink").isNotNull())
+        .groupBy("sink")
+        .agg(
+            F.sum("n").alias("in_rows"),
+            F.sum(F.when(F.col("status") == "acked", F.col("n")).otherwise(0)).alias("acked"),
+            F.lit(0).cast("long").alias("nacked"),
+            F.sum(F.when(F.col("status") == "ignored", F.col("n")).otherwise(0)).alias("ignored"),
+            F.sum(F.when(F.col("status") == "rejected", F.col("n")).otherwise(0)).alias("rejected"),
+        )
+        .withColumn("pipeline", F.lit(pipeline))
+    )
+    cols = ["pipeline", "sink", "in_rows", "acked", "nacked", "ignored", "rejected"]
+    return per.select(*cols)
 
 
 def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "pages") -> DataFrame:

@@ -100,3 +100,26 @@ def test_dimension_counts_written_and_salted_equal(spark, tmp_path):
         }
         want = {r[dim]: r["count"] for r in routed.groupBy(dim).count().collect()}
         assert got == want
+
+
+def test_per_sink_metrics_survive_resume(spark, tmp_path):
+    """metrics_by_bucket is dynamic-partition-overwritten like the sinks:
+    after crash+resume, per-sink totals equal a single-shot run's."""
+    from shovel_spark.pipeline import JobConfig, run_resumable, sink_metrics_from_buckets
+
+    pages, lm, dr = _inputs(spark)
+    golden_cfg = JobConfig(out_dir=str(tmp_path / "g2"), n_buckets=B)
+    run_resumable(spark, pages, lm, dr, golden_cfg)
+    cfg = JobConfig(out_dir=str(tmp_path / "r2"), n_buckets=B)
+    run_resumable(spark, pages, lm, dr, cfg, max_buckets=4)
+    run_resumable(spark, pages, lm, dr, cfg)
+
+    def rows(out_dir):
+        return {
+            (r["sink"], r["in_rows"], r["acked"], r["ignored"], r["rejected"])
+            for r in sink_metrics_from_buckets(spark, out_dir).collect()
+        }
+
+    got, want = rows(cfg.out_dir), rows(golden_cfg.out_dir)
+    assert got == want
+    assert len(got) >= 3
