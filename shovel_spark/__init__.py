@@ -23,3 +23,7 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from shovel_spark.session import get_spark  # noqa: E402,F401
+
+__all__ = ["get_spark", "__version__"]
