@@ -62,3 +62,41 @@ def test_windowed_metrics_stream_schema(spark, tmp_path):
     m = windowed_metrics_stream(read_pages_stream(spark, in_dir))
     assert m.isStreaming
     assert set(m.columns) == {"window_start", "window_end", "lang", "n"}
+
+
+def test_stream_dedupe_by_uuid(spark, tmp_path):
+    """Effectively-once from at-least-once delivery: streaming
+    dropDuplicates keyed on the deterministic uuid — the queue-stored
+    dedupe-header analog (reference: src/queues/batch.js:149-155) with
+    state across micro-batches."""
+    in_dir = str(tmp_path / "dup_in")
+    ckpt = str(tmp_path / "dup_ck")
+
+    base = synth_pages(spark, 300, seed=77)
+    base.write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "dup_out")
+
+    def run():
+        # file sink (memory sink can't recover from a checkpoint)
+        stream = spark.readStream.schema(base.schema).parquet(in_dir)
+        deduped = stream.withColumn("uuid", F.sha2("url", 256)).dropDuplicates(["uuid"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.read.parquet(out_dir)
+        return df.count(), df.select("uuid").distinct().count()
+
+    n1, u1 = run()
+    assert n1 == 300 == u1
+
+    # redelivery: the SAME rows arrive again in a new file (at-least-once)
+    base.write.mode("append").parquet(in_dir)
+    n2, u2 = run()
+    assert (n2, u2) == (300, 300)  # redelivered rows suppressed by dedupe state
