@@ -1234,3 +1234,53 @@ def salted_join_user_value(spark, sf_dir):
     return salted_join(ev, tiers, "user_id", salt=8).groupBy("tier").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@_register(
+    "value_median_udaf",
+    """
+    SELECT event_type, round(median(value), 3) AS med
+    FROM events GROUP BY 1
+    """,
+)
+def value_median_udaf(spark, sf_dir):
+    """Pandas UDAF (GROUPED_AGG): exact median per group via Arrow batches —
+    the UDAF surface (SURVEY.md §2.8)."""
+    from shovel_spark.functions.udafs import median_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    # note: a GROUPED_AGG pandas UDF cannot mix with non-pandas aggregates
+    # in one agg() — keep the aggregation pandas-only
+    return ev.groupBy("event_type").agg(F.round(median_udaf("value"), 3).alias("med"))
+
+
+@_register(
+    "user_zscore_extremes",
+    """
+    WITH z AS (
+      SELECT user_id, event_id,
+             (value - avg(value) OVER (PARTITION BY user_id))
+             / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+      FROM events
+    )
+    SELECT user_id, round(max(z), 4) AS max_z, round(min(z), 4) AS min_z
+    FROM z GROUP BY 1
+    """,
+)
+def user_zscore_extremes(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user z-score normalization in one
+    Arrow batch per key (the arbitrary-pandas-logic escape hatch); the
+    oracle reproduces it with window functions."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf = pdf.assign(z=(v - v.mean()) / v.std(ddof=1))
+        return pdf[["user_id", "z"]]
+
+    z = ev.groupBy("user_id").applyInPandas(zscore, "user_id long, z double")
+    return z.groupBy("user_id").agg(
+        F.round(F.max("z"), 4).alias("max_z"), F.round(F.min("z"), 4).alias("min_z")
+    )
