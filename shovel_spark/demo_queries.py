@@ -1284,3 +1284,53 @@ def user_zscore_extremes(spark, sf_dir):
     return z.groupBy("user_id").agg(
         F.round(F.max("z"), 4).alias("max_z"), F.round(F.min("z"), 4).alias("min_z")
     )
+
+
+@_register(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_values(spark, sf_dir):
+    """Pivot (crosstab): per-user value totals by event type. Pivot values
+    are declared (no extra distinct-scan job) — required at scale."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .sum("value")
+    )
+    return p.select(
+        "user_id",
+        F.round(F.coalesce("click", F.lit(0.0)), 2).alias("click"),
+        F.round(F.coalesce("purchase", F.lit(0.0)), 2).alias("purchase"),
+        F.round(F.coalesce("view", F.lit(0.0)), 2).alias("view"),
+    )
+
+
+@_register(
+    "orders_above_avg",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+)
+def orders_above_avg(spark, sf_dir):
+    """Scalar subquery through the engine's SQL surface (spark.sql) — the
+    subquery plans as a broadcast scalar, one extra scan, no per-row work."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        GROUP BY o_orderpriority
+        """
+    )
