@@ -203,6 +203,73 @@ def sink_metrics_from_buckets(spark: SparkSession, out_dir: str, pipeline: str =
     return per.select(*cols)
 
 
+def ingest_bucketed(pages: DataFrame, path: str, n_buckets: int = 64, key: str = "url") -> None:
+    """Materialize the input partitioned by its stable bucket — the scan-level
+    resume optimization: a resumed run over a bucketed ingest PRUNES done
+    buckets at the parquet scan (PartitionFilters), so skipped work costs
+    zero I/O instead of read-then-filter. At 10^12 rows that's the
+    difference between re-scanning 100 TB and scanning only the pending
+    fraction."""
+    L.with_bucket(pages, key=key, n_buckets=n_buckets).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed ingest; the partition column 'bucket' comes back as a
+    real column, and build_routed/with_bucket will reuse it (with_bucket
+    recomputes the identical value — same hash, same key — so plans that
+    filter on bucket before the recompute still prune)."""
+    return spark.read.parquet(path)
+
+
+def run_resumable_bucketed(
+    spark: SparkSession,
+    ingest_path: str,
+    lang_map: DataFrame,
+    domain_rules: DataFrame,
+    cfg: JobConfig,
+    run_id: str | None = None,
+    max_buckets: int | None = None,
+) -> dict:
+    """run_resumable over a bucketed ingest: done buckets are eliminated by
+    partition pruning at the scan (assert: PartitionFilters in the plan),
+    not by a post-read filter."""
+    run_id = run_id or L.new_run_id()
+    ledger_dir = os.path.join(cfg.out_dir, "ledger")
+    done = L.read_done_buckets(spark, ledger_dir)
+
+    pages = read_bucketed(spark, ingest_path)
+    if done:
+        pages = pages.filter(~F.col("bucket").isin(sorted(done)))  # prunes partitions
+    if max_buckets is not None:
+        keep = sorted(set(range(cfg.n_buckets)) - done)[:max_buckets]
+        pages = pages.filter(F.col("bucket").isin(keep))
+
+    routed = build_routed(pages.drop("bucket"), lang_map, domain_rules, cfg)
+    t0 = time.time()
+    write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
+    counts = (
+        routed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("in_rows"),
+            F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
+            F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
+            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+        )
+        .collect()
+    )
+    bucket_counts = [r.asDict() for r in counts]
+    if bucket_counts:
+        L.append_ledger(spark, ledger_dir, run_id, bucket_counts, f"bucketed:{ingest_path}")
+    return {
+        "run_id": run_id,
+        "processed_buckets": sorted(int(b["bucket"]) for b in bucket_counts),
+        "skipped_buckets": sorted(done),
+        "elapsed_sec": time.time() - t0,
+    }
+
+
 def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "pages") -> DataFrame:
     """Pipeline totals reconstructed from the ledger (the reference's
     cross-worker metric aggregation analog, src/core/aggregated_metrics.js:100-132)."""

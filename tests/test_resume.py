@@ -123,3 +123,44 @@ def test_per_sink_metrics_survive_resume(spark, tmp_path):
     got, want = rows(cfg.out_dir), rows(golden_cfg.out_dir)
     assert got == want
     assert len(got) >= 3
+
+
+def test_bucketed_resume_prunes_at_scan(spark, tmp_path):
+    """Scan-level resume: over a bucket-partitioned ingest, done buckets are
+    eliminated by parquet partition pruning (PartitionFilters), not a
+    post-read filter — zero I/O for completed work."""
+    from shovel_spark.pipeline import (
+        JobConfig,
+        build_routed,
+        ingest_bucketed,
+        read_bucketed,
+        run_resumable,
+        run_resumable_bucketed,
+    )
+
+    pages, lm, dr = _inputs(spark)
+    ingest = str(tmp_path / "ingest")
+    ingest_bucketed(pages, ingest, n_buckets=B)
+
+    cfg = JobConfig(out_dir=str(tmp_path / "out"), n_buckets=B)
+    r1 = run_resumable_bucketed(spark, ingest, lm, dr, cfg, max_buckets=3)
+    assert len(r1["processed_buckets"]) == 3
+    r2 = run_resumable_bucketed(spark, ingest, lm, dr, cfg)
+    assert r2["skipped_buckets"] == r1["processed_buckets"]
+
+    # equality with the plain (unbucketed) path
+    golden = JobConfig(out_dir=str(tmp_path / "golden"), n_buckets=B)
+    run_resumable(spark, pages, lm, dr, golden)
+    for sink in cfg.sinks:
+        assert _sink_urls(spark, cfg.out_dir, sink) == _sink_urls(spark, golden.out_dir, sink)
+
+    # plan proof: the resume filter appears as a partition filter on the scan
+    done = set(r1["processed_buckets"])
+    pruned = read_bucketed(spark, ingest).filter(~F.col("bucket").isin(sorted(done)))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    scan = plan[plan.index("Scan parquet"):]
+    pf_line = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in pf_line and "PartitionFilters: []" not in pf_line
