@@ -47,7 +47,11 @@ def write_sinks(
     shovel encodes content right before the output delivers it). Typed sinks
     (parquet/iceberg) don't need it; text-protocol sinks do.
     """
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    # respect a caller-managed cache: persisting is idempotent but an
+    # unconditional unpersist here would evict the caller's copy too
+    caller_persisted = routed.storageLevel != StorageLevel.NONE
+    if not caller_persisted:
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     paths: dict[str, str] = {}
     try:
         for name in sinks:
@@ -71,5 +75,6 @@ def write_sinks(
             writer.format(fmt).save(path)
             paths[name] = path
     finally:
-        routed.unpersist()
+        if not caller_persisted:
+            routed.unpersist()
     return paths

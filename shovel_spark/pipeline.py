@@ -96,10 +96,16 @@ def run_once(
 ) -> DataFrame:
     """Single-shot run (no ledger): write all sinks, return metrics DF."""
     routed = build_routed(pages, lang_map, domain_rules, cfg)
-    write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
-    metrics = sink_metrics(routed, pipeline=cfg.name)
-    metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
-    write_dimension_counts(routed, cfg.out_dir)
+    # one persist shared by ALL consumers (sinks + metrics + dimension
+    # counts) — otherwise each output re-runs the full parse chain
+    routed = routed.persist()
+    try:
+        write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
+        metrics = sink_metrics(routed, pipeline=cfg.name)
+        metrics.coalesce(1).write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+        write_dimension_counts(routed, cfg.out_dir)
+    finally:
+        routed.unpersist()
     return spark.read.parquet(os.path.join(cfg.out_dir, "metrics"))
 
 
