@@ -118,13 +118,14 @@ class PipelineSpec:
         )
 
     def lang_map_df(self, spark: SparkSession) -> DataFrame:
-        rows = list(self.lang_map.items()) or [("", "")]
-        return spark.createDataFrame(rows, "lang_raw string, lang_norm string")
+        # truly empty when unconfigured — a dummy ("","") row would map
+        # empty-string langs to "" instead of the default
+        return spark.createDataFrame(
+            list(self.lang_map.items()), "lang_raw string, lang_norm string"
+        )
 
     def domain_rules_df(self, spark: SparkSession) -> DataFrame:
-        rows = [
-            (r["domain"], r["action"], r.get("sink")) for r in self.domain_rules
-        ] or [("", "allow", None)]
+        rows = [(r["domain"], r["action"], r.get("sink")) for r in self.domain_rules]
         return spark.createDataFrame(rows, "domain string, action string, sink string")
 
 

@@ -110,3 +110,25 @@ def test_iceberg_surface_gated(spark):
         read_pages(spark, "lake.web.pages", fmt="iceberg")
     with _pytest.raises(ValueError, match="unknown format"):
         read_pages(spark, "x", fmt="orc2")
+
+
+def test_empty_lookup_configs_use_defaults(spark):
+    """Unconfigured lang_map / domain_rules: every lang normalizes to the
+    default and every domain is allowed (no dummy-row artifacts)."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.pipeline import build_routed
+    from shovel_spark.synth import synth_pages
+
+    spec = PipelineSpec.from_dict(
+        {"out_dir": "/tmp/x", "sinks": [{"name": "all", "predicate": "lang_norm = 'und'"}]}
+    )
+    routed = build_routed(
+        synth_pages(spark, 200, seed=3),
+        spec.lang_map_df(spark),
+        spec.domain_rules_df(spark),
+        spec.job_config(),
+    )
+    langs = {r["lang_norm"] for r in routed.select("lang_norm").distinct().collect()}
+    assert langs == {"und"}
+    assert routed.filter(F.col("rule_action") == "deny").count() == 0
