@@ -1334,3 +1334,38 @@ def orders_above_avg(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@_register(
+    "grok_log_roundtrip",
+    """
+    SELECT event_type AS etype, count(*) AS n, sum(user_id) AS user_sum,
+           max(event_id) AS max_eid
+    FROM events
+    """
+    + "GROUP BY 1",
+)
+def grok_log_roundtrip(spark, sf_dir):
+    """Grok compiler (functions/grok.py): render events as log lines, grok
+    the typed fields back out, aggregate — the oracle computes the same
+    aggregates from the raw columns, so any extraction drift mismatches."""
+    from shovel_spark.functions.grok import compile_grok
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("event_id").cast("string"),
+    )
+    g = compile_grok("%{INT:user:long} %{WORD:etype} %{INT:eid:long}", line)
+    parsed = ev.select(g.alias("g")).select("g.*")
+    return (
+        parsed.filter(F.col("ok"))
+        .groupBy(F.col("etype"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("user").alias("user_sum"),
+            F.max("eid").alias("max_eid"),
+        )
+    )
