@@ -79,6 +79,24 @@ def main_default() -> None:
     timings["pipeline_parse_route_2m"] = round(t, 3)
     docs_per_sec = n_pages / t
 
+    # end-to-end including multi-sink parquet writes + ledger (the CLI path)
+    import shutil
+
+    from shovel_spark.pipeline import JobConfig, run_resumable
+    from shovel_spark.synth import default_domain_rules, default_lang_map
+
+    out_dir = "/tmp/shovel_bench_write_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_resumable(
+        spark,
+        spark.read.parquet(pages_path),
+        default_lang_map(spark),
+        default_domain_rules(spark),
+        JobConfig(out_dir=out_dir, n_buckets=64),
+    )
+    timings["pipeline_full_write_2m"] = round(res["elapsed_sec"], 3)
+    write_docs_per_sec = n_pages / res["elapsed_sec"]
+
     from shovel_spark.demo_queries import SPARK_QUERIES
 
     for name, fn in SPARK_QUERIES.items():
@@ -96,6 +114,7 @@ def main_default() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pipeline_docs_per_sec": round(docs_per_sec),
+                "pipeline_write_docs_per_sec": round(write_docs_per_sec),
                 "cpus": cpus,
             }
         )
