@@ -72,3 +72,27 @@ def test_json_codec_roundtrip_property(spark, dicts):
     for d, r in zip(dicts, out):
         for k in ("a", "b", "c"):
             assert getattr(r["o"], k) == d.get(k)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", fullmatch=True),
+            st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True),
+            st.integers(-(2**31), 2**31 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_grok_roundtrip_property(spark, rows):
+    """Grok recovers arbitrary (ip, word, int) triples rendered into lines."""
+    from shovel_spark.functions.grok import compile_grok
+
+    lines = [(f"{ip} {word} n={n}",) for ip, word, n in rows]
+    df = spark.createDataFrame(lines, "line string")
+    g = compile_grok("%{IP:ip} %{WORD:word} n=%{INT:n:long}")
+    got = [tuple(r["g"]) for r in df.select(g.alias("g")).collect()]
+    for (ip, word, n), (gip, gword, gn, ok) in zip(rows, got):
+        assert ok and (gip, gword, gn) == (ip, word, n)
