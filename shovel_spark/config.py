@@ -113,6 +113,7 @@ class PipelineSpec:
             input_path=self.input_path,
             out_dir=self.out_dir,
             parser_impl=self.parser,
+            lang_default=self.lang_default,
             n_buckets=self.buckets,
             sink_rules=rules,
         )

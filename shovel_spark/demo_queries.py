@@ -105,19 +105,24 @@ def route_sink_counts(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 3) AS avg_k
     FROM events GROUP BY 1
     """,
 )
 def parse_json_props(spark, sf_dir):
-    """JSON decoder analog: get_json_object over the props payload."""
+    """JSON decoder analog: get_json_object over the props payload.
+
+    The extraction is projected ONCE behind a withColumn so the groupBy's two
+    aggregates share a single JSON parse per row (Catalyst does not CSE the
+    two get_json_object occurrences when bound separately in agg exprs).
+    """
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    ev = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 3).alias("avg_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 3).alias("avg_k"),
     )
 
 
@@ -191,7 +196,8 @@ def hourly_event_counts(spark, sf_dir):
     )
     SELECT user_id,
            count(*) AS n_purchases,
-           sum(CASE WHEN prior_signup IS NOT NULL THEN 1 ELSE 0 END) AS with_prior_signup
+           CAST(sum(CASE WHEN prior_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS with_prior_signup
     FROM w WHERE event_type = 'purchase' GROUP BY 1
     """,
 )
@@ -226,7 +232,7 @@ def asof_prior_signup(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY 1
     """,
 )
@@ -480,7 +486,7 @@ def docs_unique_per_lang(spark, sf_dir):
       FROM documents
     )
     SELECT lang, count(*) AS n_docs, round(avg(tokens), 2) AS avg_tokens,
-           max(tokens) AS max_tokens, sum(n_chars) AS total_chars
+           max(tokens) AS max_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY 1
     """,
 )
@@ -1339,7 +1345,7 @@ def orders_above_avg(spark, sf_dir):
 @_register(
     "grok_log_roundtrip",
     """
-    SELECT event_type AS etype, count(*) AS n, sum(user_id) AS user_sum,
+    SELECT event_type AS etype, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS user_sum,
            max(event_id) AS max_eid
     FROM events
     """

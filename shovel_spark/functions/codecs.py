@@ -3,9 +3,9 @@
 Shovel's decoders turn ``source`` bytes into structured ``content`` and
 encoders do the inverse (reference: src/decoders/*.js, src/encoders/*.js).
 Spark-first: every codec that has a built-in stays JVM-side (from_json /
-from_csv / unbase64 / ...); the ones needing Python libraries (msgpack,
-json5) are Arrow-batched pandas UDFs gated behind import-try — never
-row-at-a-time Python.
+from_csv / unbase64 / ...); the binary wire formats with no built-in
+(msgpack, json5, protobuf) are Arrow-batched pandas UDFs over the
+pure-Python wire codecs in functions/wire.py — never row-at-a-time Python.
 
 Schemas are fixed at plan time: shovel's "dynamic" decode is config-time
 dynamism too (a given pipeline YAML fixes the shape of content).
@@ -13,7 +13,10 @@ dynamism too (a given pipeline YAML fixes the shape of content).
 
 from __future__ import annotations
 
+import json
 import re
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -49,6 +52,13 @@ def encode_csv(col: Column, **options: str) -> Column:
 # --- base64 (reference: src/decoders/base64.js:1-15, src/encoders/base64.js)
 
 def decode_base64(col: Column, encoding: str = "UTF-8") -> Column:
+    """Base64 → text. Invalid byte sequences decode with U+FFFD replacement
+    (binary→string cast semantics) rather than failing the task — Spark 4's
+    F.decode(..., 'UTF-8') raises MALFORMED_CHARACTER_CODING on one bad
+    payload, which would violate the per-row error-isolation contract
+    (same Buffer.toString semantics as parse._decode_utf8)."""
+    if encoding.upper().replace("-", "") == "UTF8":
+        return F.unbase64(col).cast("string")
     return F.decode(F.unbase64(col), encoding)
 
 
@@ -103,54 +113,194 @@ def explode_delimited(df, payload_col: str, schema, delimiter: str = "\n", out_c
     ).drop("__piece")
 
 
-# --- msgpack / json5 / protobuf (Python-library codecs, Arrow-batched)
+# --- msgpack / json5 / protobuf (Arrow-batched pandas UDFs over the
+# pure-Python wire codecs in functions/wire.py — the npm libraries the
+# reference uses (msgpackr / json5 / protobufjs) have no in-sandbox Python
+# twin, so the PUBLIC wire specs are implemented from scratch there)
+
+def _as_struct_type(schema):
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(schema)
+    return schema
+
+
+def _records_to_frame(records, schema):
+    # plain constructor, not from_records: an all-empty-dict batch must still
+    # produce len(records) rows (one null row per failed decode)
+    return pd.DataFrame(
+        [r if isinstance(r, dict) else {} for r in records],
+        columns=[f.name for f in schema.fields],
+    )
+
 
 def make_msgpack_decoder(schema):
     """Arrow-batched msgpack decoder (reference: src/decoders/msgpack.js).
-
-    Requires the ``msgpack`` package; raises ImportError at *plan* time if
-    absent (never mid-job)."""
-    import msgpack  # noqa: F401 — fail fast at plan time
-
-    import pandas as pd
+    Per-record error isolation: an unpack failure yields an all-null row
+    (dead-letter it downstream), never a task failure."""
     from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions.wire import msgpack_unpackb
+
+    schema = _as_struct_type(schema)
 
     @pandas_udf(schema)
     def decode_msgpack(col: pd.Series) -> pd.DataFrame:
-        import msgpack as _m
-
-        records = [None if b is None else _m.unpackb(bytes(b), raw=False) for b in col]
-        return pd.DataFrame.from_records(
-            [r if isinstance(r, dict) else {} for r in records]
-        ).reindex(columns=[f.name for f in schema.fields])
+        records = []
+        for b in col:
+            try:
+                records.append(None if b is None else msgpack_unpackb(bytes(b)))
+            except Exception:
+                records.append(None)
+        return _records_to_frame(records, schema)
 
     return decode_msgpack
 
 
-def make_json5_decoder(schema):
-    """json5 decoder (reference: src/decoders/json5.js) — gated on the
-    ``json5`` package."""
-    import json5  # noqa: F401
+def encode_msgpack(col: Column) -> Column:
+    """struct → msgpack bytes (reference: src/encoders/msgpack.js:1-10).
 
-    import pandas as pd
+    The struct crosses to Python as canonical JSON (to_json bridge) so the
+    encoder is schema-agnostic; JSON-representable types map 1:1 onto
+    msgpack's (the reference's message.content is JSON-shaped too)."""
     from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions.wire import msgpack_packb
+
+    @pandas_udf("binary")
+    def _enc(js: pd.Series) -> pd.Series:
+        return js.map(lambda s: None if s is None else msgpack_packb(json.loads(s)))
+
+    return _enc(F.to_json(col))
+
+
+def make_json5_decoder(schema):
+    """json5 decoder (reference: src/decoders/json5.js) over the pure
+    JSON5 parser in wire.py. Parse failure → all-null row."""
+    from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions.wire import json5_loads
+
+    schema = _as_struct_type(schema)
 
     @pandas_udf(schema)
     def decode_json5(col: pd.Series) -> pd.DataFrame:
-        import json5 as _j
-
-        records = [None if s is None else _j.loads(s) for s in col]
-        return pd.DataFrame.from_records(
-            [r if isinstance(r, dict) else {} for r in records]
-        ).reindex(columns=[f.name for f in schema.fields])
+        records = []
+        for s in col:
+            try:
+                records.append(None if s is None else json5_loads(s))
+            except Exception:
+                records.append(None)
+        return _records_to_frame(records, schema)
 
     return decode_json5
 
 
-def decode_protobuf(col: Column, message_name: str, desc_file_path: str) -> Column:
-    """Protobuf decoder (reference: src/decoders/protobuf.js:12-142) via
-    spark-protobuf — requires the spark-protobuf package on the classpath
-    (not bundled in this sandbox; the call surface is the contract)."""
+def encode_json5(col: Column, pretty: bool = False) -> Column:
+    """struct → JSON5 text (reference: src/encoders/json5.js:14-36;
+    pretty=True matches JSON5.stringify(content, null, 3) incl. trailing
+    commas). The reference's colorize option is terminal ANSI paint — a
+    display concern, out of scope for a columnar engine."""
+    from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions.wire import json5_dumps
+
+    indent = 3 if pretty else 0
+
+    @pandas_udf("string")
+    def _enc(js: pd.Series) -> pd.Series:
+        return js.map(lambda s: None if s is None else json5_dumps(json.loads(s), indent=indent))
+
+    return _enc(F.to_json(col))
+
+
+def make_proto_decoder(spec, schema, delimited: bool = False):
+    """Protobuf decoder (reference: src/decoders/protobuf.js:12-142) over
+    the pure wire-format parser. ``spec`` is a wire.ProtoSpec (build one
+    from a .proto file with wire.parse_proto — the reference's proto_path /
+    class_name config surface, src/decoders/protobuf.js:20-43).
+
+    delimited=False: binary → struct(schema). delimited=True: binary →
+    array<struct> (the 1→N stream mode, src/decoders/protobuf.js:111-141);
+    explode downstream. Decode failure → null element (dead-letter)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions import wire
+
+    schema = _as_struct_type(schema)
+    fields = [f.name for f in schema.fields]
+    spec_fields = list(spec.fields)
+
+    if delimited:
+
+        @pandas_udf(T.ArrayType(schema))
+        def decode_proto_delim(col: pd.Series) -> pd.Series:
+            sp = wire.ProtoSpec(spec_fields)
+
+            def one(b):
+                if b is None:
+                    return None
+                try:
+                    recs = wire.proto_decode_delimited(bytes(b), sp)
+                    return [{k: r.get(k) for k in fields} for r in recs]
+                except Exception:
+                    return None
+
+            return col.map(one)
+
+        return decode_proto_delim
+
+    @pandas_udf(schema)
+    def decode_proto(col: pd.Series) -> pd.DataFrame:
+        sp = wire.ProtoSpec(spec_fields)
+        records = []
+        for b in col:
+            try:
+                records.append(None if b is None else wire.proto_decode(bytes(b), sp))
+            except Exception:
+                records.append(None)
+        return _records_to_frame(records, schema)
+
+    return decode_proto
+
+
+def encode_protobuf(col: Column, spec, delimited: bool = False) -> Column:
+    """struct → protobuf bytes (reference: src/encoders/protobuf.js:57-62).
+    delimited=True varint-length-prefixes the message (encodeDelimited);
+    pass an ARRAY of structs to concatenate N records into one payload,
+    matching the reference's Buffer.concat of per-record frames."""
+    from pyspark.sql.functions import pandas_udf
+
+    from shovel_spark.functions import wire
+
+    spec_fields = list(spec.fields)
+
+    @pandas_udf("binary")
+    def _enc(js: pd.Series) -> pd.Series:
+        sp = wire.ProtoSpec(spec_fields)
+
+        def one(s):
+            if s is None:
+                return None
+            rec = json.loads(s)
+            if delimited:
+                recs = rec if isinstance(rec, list) else [rec]
+                return wire.proto_encode_delimited(recs, sp)
+            return wire.proto_encode(rec, sp)
+
+        return js.map(one)
+
+    return _enc(F.to_json(col))
+
+
+def decode_protobuf_jvm(col: Column, message_name: str, desc_file_path: str) -> Column:
+    """JVM-side protobuf decode via spark-protobuf, the preferred path on a
+    real cluster where the spark-protobuf package is on the classpath (it
+    stays inside codegen; the pandas path above is the no-classpath
+    fallback and the only runnable one in this sandbox)."""
     from pyspark.sql.protobuf.functions import from_protobuf
 
     return from_protobuf(col, message_name, desc_file_path)

@@ -61,7 +61,9 @@ def parse_html_regex(html: Column) -> Column:
     rows missing ``</p>`` — prefer :func:`parse_html_native` in the hot path.
     """
     s = _decode_utf8(html)
-    ok = s.rlike(_BODY_RE)
+    # null html must parse as ok=false (not null: a null ok would slip past
+    # the route's reject predicate), same as the pandas path's False
+    ok = F.coalesce(s.rlike(_BODY_RE), F.lit(False))
     text = F.when(ok, F.regexp_extract(s, _BODY_RE, 1))
     title_ok = s.rlike(_TITLE_RE)
     title = F.when(title_ok, F.regexp_extract(s, _TITLE_RE, 1))
@@ -102,6 +104,7 @@ def parse_html_native(html: Column) -> Column:
     """
     s = _decode_utf8(html)
     ok, text = _span(s, "<p>", "</p>")
+    ok = F.coalesce(ok, F.lit(False))  # null html → ok=false, not null
     _t_ok, title = _span(s, "<title>", "</title>")
     error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))
     return F.struct(

@@ -41,10 +41,13 @@ def translate(
     return joined.withColumn(out_col, value).drop("__k", "__v")
 
 
-def normalize_lang(df: DataFrame, lang_map: DataFrame, out_col: str = "lang_norm") -> DataFrame:
-    """lang raw -> normalized code, unknown/empty -> 'und' (driver-mandated
-    lang-map broadcast join, BASELINE.json north_star)."""
-    return translate(df, "lang", lang_map, "lang_raw", "lang_norm", out_col, default="und")
+def normalize_lang(
+    df: DataFrame, lang_map: DataFrame, out_col: str = "lang_norm", default: str = "und"
+) -> DataFrame:
+    """lang raw -> normalized code, unknown/empty -> ``default`` ('und'
+    unless the pipeline config sets lang_default; driver-mandated lang-map
+    broadcast join, BASELINE.json north_star)."""
+    return translate(df, "lang", lang_map, "lang_raw", "lang_norm", out_col, default=default)
 
 
 def apply_domain_rules(df: DataFrame, rules: DataFrame) -> DataFrame:

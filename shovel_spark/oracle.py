@@ -44,11 +44,10 @@ def run_oracle(
         url = row["url"]
         html: bytes = row["html"]
 
-        # --- parse (decoder slot; exception -> auto-reject) ---
-        try:
-            decoded = html.decode("utf-8", "strict")
-        except UnicodeDecodeError:
-            decoded = None
+        # --- parse (decoder slot) --- U+FFFD replacement, matching every
+        # Spark parse path and the reference's Buffer.toString: invalid bytes
+        # degrade the text, they don't by themselves reject the row
+        decoded = html.decode("utf-8", "replace") if html is not None else None
         m = _BODY_RE.search(decoded) if decoded is not None else None
         parse_ok = m is not None
         text = m.group(1) if m else None

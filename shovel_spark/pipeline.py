@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from shovel_spark import ledger as L
 from shovel_spark.functions.parse import parse_pages
@@ -61,6 +62,7 @@ class JobConfig:
     input_path: str | None = None  # parquet dir or None (caller passes a DF)
     out_dir: str = "/tmp/shovel_spark_out"
     parser_impl: str = "native"  # 'native' (JVM regexp) | 'pandas' (Arrow UDF)
+    lang_default: str = "und"  # unmapped-lang fallthrough (config lang_default)
     n_buckets: int = 64
     sink_rules: list[SinkRule] = field(default_factory=default_sink_rules)
     sinks: list[str] = field(default_factory=list)
@@ -78,12 +80,21 @@ def build_routed(
 ) -> DataFrame:
     """The full lazy chain, no action triggered."""
     df = parse_pages(pages, impl=cfg.parser_impl)
-    df = normalize_lang(df, lang_map)
+    df = normalize_lang(df, lang_map, default=cfg.lang_default)
     df = apply_domain_rules(df, domain_rules)
     df = apply_routes(df, cfg.sink_rules)
+    # every dead-lettered row must carry WHY (per-doc error isolation,
+    # reference: src/outputs/elasticsearch.js:156-165): parse failures keep
+    # the parser's message, rule-deny rejects get a synthetic reason
     df = df.withColumn("text", F.col("parsed.text")).withColumn(
         "title", F.col("parsed.title")
-    ).withColumn("error", F.col("parsed.error"))
+    ).withColumn(
+        "error",
+        F.coalesce(
+            F.col("parsed.error"),
+            F.when(F.col("rule_action") == "deny", F.concat(F.lit("domain_rule:deny:"), F.col("domain"))),
+        ),
+    )
     return L.with_bucket(df.select(*OUTPUT_COLS, "lang"), n_buckets=cfg.n_buckets)
 
 
@@ -153,31 +164,38 @@ def run_resumable(
         )[:max_buckets]
         pending = pending.filter(F.col("bucket").isin(all_buckets))
 
-    # One distributed pass: counts per (bucket, status) for the ledger, then
-    # partitioned sink writes. persist() inside write_sinks covers both.
+    # One distributed pass shared by three consumers (sink writes, per-bucket
+    # metrics, ledger counts): repartition by the write's directory-partition
+    # key FIRST (so each consumer inherits the write-aligned layout), then
+    # persist. write_sinks detects the caller-managed cache and will neither
+    # re-persist nor unpersist it.
     t0 = time.time()
-    write_sinks(
-        pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
-    )
-    # per-(bucket, sink, status) metric rows, idempotent under re-runs via the
-    # same dynamic-partition-overwrite trick as the sinks themselves
-    (
-        pending.groupBy("bucket", "sink", "status")
-        .agg(F.count("*").alias("n"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
-    )
-    counts = (
-        pending.groupBy("bucket")
-        .agg(
-            F.count("*").alias("in_rows"),
-            F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
-            F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
-            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+    pending = pending.repartition("bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write_sinks(
+            pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
         )
-        .collect()
-    )
+        # per-(bucket, sink, status) metric rows, idempotent under re-runs via
+        # the same dynamic-partition-overwrite trick as the sinks themselves
+        (
+            pending.groupBy("bucket", "sink", "status")
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
+        )
+        counts = (
+            pending.groupBy("bucket")
+            .agg(
+                F.count("*").alias("in_rows"),
+                F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
+                F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
+                F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+            )
+            .collect()
+        )
+    finally:
+        pending.unpersist()
     bucket_counts = [r.asDict() for r in counts]
     if bucket_counts:
         L.append_ledger(spark, ledger_dir, run_id, bucket_counts, lineage or f"pages->{cfg.out_dir}")
@@ -254,17 +272,25 @@ def run_resumable_bucketed(
 
     routed = build_routed(pages.drop("bucket"), lang_map, domain_rules, cfg)
     t0 = time.time()
-    write_sinks(routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS)
-    counts = (
-        routed.groupBy("bucket")
-        .agg(
-            F.count("*").alias("in_rows"),
-            F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
-            F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
-            F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+    # Same shared-persist pattern as run_resumable: one parse/route pass feeds
+    # both the sink writes and the ledger counts.
+    routed = routed.repartition("bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        write_sinks(
+            routed, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
         )
-        .collect()
-    )
+        counts = (
+            routed.groupBy("bucket")
+            .agg(
+                F.count("*").alias("in_rows"),
+                F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
+                F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
+                F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+            )
+            .collect()
+        )
+    finally:
+        routed.unpersist()
     bucket_counts = [r.asDict() for r in counts]
     if bucket_counts:
         L.append_ledger(spark, ledger_dir, run_id, bucket_counts, f"bucketed:{ingest_path}")
@@ -281,12 +307,14 @@ def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "page
     cross-worker metric aggregation analog, src/core/aggregated_metrics.js:100-132)."""
     led = spark.read.parquet(os.path.join(out_dir, "ledger")).filter(F.col("status") == "done")
     # Last writer wins per bucket (a re-run replaces the bucket's output).
+    # max_by(completed_at) makes "last" deterministic — F.last() in a groupBy
+    # has no row-order guarantee across parquet files.
     latest = led.groupBy("bucket").agg(
-        F.last("in_rows").alias("in_rows"),
-        F.last("acked").alias("acked"),
-        F.last("nacked").alias("nacked"),
-        F.last("ignored").alias("ignored"),
-        F.last("rejected").alias("rejected"),
+        F.max_by("in_rows", "completed_at").alias("in_rows"),
+        F.max_by("acked", "completed_at").alias("acked"),
+        F.max_by("nacked", "completed_at").alias("nacked"),
+        F.max_by("ignored", "completed_at").alias("ignored"),
+        F.max_by("rejected", "completed_at").alias("rejected"),
     )
     return latest.agg(
         F.lit(pipeline).alias("pipeline"),

@@ -81,21 +81,101 @@ def test_render_template_unpadded_tokens(spark):
     assert out == "3/7 8h"
 
 
-def test_msgpack_decoder_gated(spark):
-    """msgpack is not in this sandbox: the factory must fail at plan time
-    (ImportError), never mid-job."""
-    try:
-        import msgpack  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError):
-            codecs.make_msgpack_decoder("k int")
-        return
-    # if present, exercise a golden pair (reference: tests/decoders/msgpack.js)
-    import msgpack as _m
-
+def test_msgpack_golden_pair(spark):
+    """reference: tests/decoders/msgpack.js + tests/encoders/msgpack.js —
+    pack({test:'ok'}) is the spec bytes 81 a4 't''e''s''t' a2 'o''k'."""
+    golden = b"\x81\xa4test\xa2ok"
     udf = codecs.make_msgpack_decoder("test string")
-    df = spark.createDataFrame([(bytearray(_m.packb({"test": "ok"})),)], "v binary")
+    df = spark.createDataFrame([(bytearray(golden),)], "v binary")
     assert df.select(udf(F.col("v")).alias("o")).first()["o"].test == "ok"
+    # encoder inverse
+    enc = (
+        spark.createDataFrame([("ok",)], "test string")
+        .select(codecs.encode_msgpack(F.struct(F.col("test"))).alias("b"))
+        .first()["b"]
+    )
+    assert bytes(enc) == golden
+
+
+def test_msgpack_decode_error_is_null_row(spark):
+    udf = codecs.make_msgpack_decoder("test string")
+    df = spark.createDataFrame([(bytearray(b"\xc1garbage"),)], "v binary")
+    out = df.select(udf(F.col("v")).alias("o")).first()["o"]
+    assert out is None or out.test is None
+
+
+def test_json5_golden_pair(spark):
+    """reference: tests/decoders/json5.js + tests/encoders/json5.js —
+    JSON5.stringify({test:'ok'}) == "{test:'ok'}"; pretty (indent 3) emits
+    trailing commas."""
+    udf = codecs.make_json5_decoder("test string")
+    df = spark.createDataFrame([("// note\n{test: 'ok',}",)], "v string")
+    assert df.select(udf(F.col("v")).alias("o")).first()["o"].test == "ok"
+    one = spark.createDataFrame([("ok",)], "test string")
+    compact = one.select(codecs.encode_json5(F.struct(F.col("test"))).alias("s")).first()["s"]
+    assert compact == "{test:'ok'}"
+    pretty = one.select(
+        codecs.encode_json5(F.struct(F.col("test")), pretty=True).alias("s")
+    ).first()["s"]
+    assert pretty == "{\n   test: 'ok',\n}"
+
+
+def test_protobuf_golden_pair(spark):
+    """reference: tests/decoders/protobuf.js + tests/encoders/protobuf.js
+    over tests/assets/test.proto (message Test { required string test = 1 }):
+    encode({test:'ok'}) == 0a 02 'o''k'; delimited mode prefixes a varint
+    length (protobufjs encodeDelimited)."""
+    from shovel_spark.functions.wire import parse_proto
+
+    spec = parse_proto("message Test { required string test = 1; }")["Test"]
+    golden = b"\x0a\x02ok"
+
+    udf = codecs.make_proto_decoder(spec, "test string")
+    df = spark.createDataFrame([(bytearray(golden),)], "v binary")
+    assert df.select(udf(F.col("v")).alias("o")).first()["o"].test == "ok"
+
+    one = spark.createDataFrame([("ok",)], "test string")
+    enc = one.select(codecs.encode_protobuf(F.struct(F.col("test")), spec).alias("b")).first()["b"]
+    assert bytes(enc) == golden
+    encd = one.select(
+        codecs.encode_protobuf(F.struct(F.col("test")), spec, delimited=True).alias("b")
+    ).first()["b"]
+    assert bytes(encd) == b"\x04" + golden
+
+
+def test_protobuf_delimited_fanout(spark):
+    """1→N delimited decode (reference: src/decoders/protobuf.js:111-141):
+    one varint-framed payload explodes to N typed records."""
+    from shovel_spark.functions.wire import ProtoSpec, proto_encode_delimited
+
+    spec = ProtoSpec([(1, "test", "string")])
+    payload = proto_encode_delimited([{"test": "a"}, {"test": "b"}, {"test": "c"}], spec)
+    udf = codecs.make_proto_decoder(spec, "test string", delimited=True)
+    df = spark.createDataFrame([(bytearray(payload),)], "v binary")
+    out = (
+        df.select(F.explode(udf(F.col("v"))).alias("r"))
+        .select("r.test")
+        .collect()
+    )
+    assert sorted(r.test for r in out) == ["a", "b", "c"]
+
+
+def test_protobuf_numeric_roundtrip(spark):
+    """Wire-format coverage beyond the reference's string-only asset:
+    varint/zigzag/fixed/bool survive a Spark-side encode→decode."""
+    from shovel_spark.functions.wire import ProtoSpec
+
+    spec = ProtoSpec([(1, "a", "int64"), (2, "b", "sint64"), (3, "c", "double"), (4, "d", "bool")])
+    df = spark.createDataFrame([(7, -9, 2.5, True), (0, 0, -1.0, False)], "a long, b long, c double, d boolean")
+    udf = codecs.make_proto_decoder(spec, "a long, b long, c double, d boolean")
+    out = (
+        df.select(codecs.encode_protobuf(F.struct("a", "b", "c", "d"), spec).alias("bin"))
+        .select(udf(F.col("bin")).alias("o"))
+        .select("o.*")
+        .collect()
+    )
+    got = sorted((r.a or 0, r.b or 0, r.c, r.d or False) for r in out)
+    assert got == [(0, 0, -1.0, False), (7, -9, 2.5, True)]
 
 
 def test_parse_content_type(spark):
