@@ -919,36 +919,164 @@ def _near_dup_corpus(spark, sf_dir):
     return d.unionByName(edited)
 
 
-@_register("docs_minhash_near_dups")  # rows-only: xxhash64 has no DuckDB twin
+#: DuckDB twin of _near_dup_corpus (docs < 40 ∪ copies with the first word
+#: dropped, id+100000) and its 3-shingle table.
+_ND_CORPUS_SQL = r"""
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[2:], ' ')
+      FROM documents WHERE doc_id < 40
+"""
+
+_ND_SHINGLE_SQL = r"""
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus)
+"""
+
+
+@_register(
+    "docs_minhash_near_dups",
+    f"""
+    WITH corpus AS ({_ND_CORPUS_SQL}),
+    sh AS ({_ND_SHINGLE_SQL}),
+    hv AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+      FROM sh, range(0, 16) t(seed) GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(h, ',' ORDER BY seed)) AS bucket
+      FROM hv GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bk x JOIN bk y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT id_a, id_b, count(*) AS c
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.id_a
+      JOIN sh b ON b.doc_id = cand.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def docs_minhash_near_dups(spark, sf_dir):
     """minhash_dedup_pairs operator (MinHash → banded LSH → exact-Jaccard
     verify) on a corpus with planted near-dups: every planted pair (i, i+1e5)
-    must surface; jaccard values are exact."""
+    must surface; jaccard values are exact. The md5 hash family makes the
+    ENTIRE chain — signatures, band buckets, candidates, verification —
+    reproducible in DuckDB, so the oracle checks the full operator, not just
+    an aggregate of it."""
     from shovel_spark.operators.dedup import minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(
-        _near_dup_corpus(spark, sf_dir), threshold=0.5, num_hashes=16, bands=8
+        _near_dup_corpus(spark, sf_dir), threshold=0.5, num_hashes=16, bands=8,
+        family="md5",
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
 
 
-@_register("docs_simhash_near_dups")  # rows-only: xxhash64-based
+@_register(
+    "docs_simhash_near_dups",
+    f"""
+    WITH corpus AS ({_ND_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM corpus
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b AS bit,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, range(0, 60) r(b) GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
+      FROM votes GROUP BY 1
+    ),
+    chunks AS (
+      SELECT doc_id, sh, b AS block, (sh >> (b * 15)) & 32767 AS chunk
+      FROM sims, range(0, 4) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             bit_count(xor(x.sh, y.sh)) AS hamming
+      FROM chunks x JOIN chunks y
+        ON x.block = y.block AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12
+    ORDER BY id_a, id_b
+    """,
+)
 def docs_simhash_near_dups(spark, sf_dir):
-    """simhash_near_dup_pairs (64-bit SimHash, block-LSH candidates,
-    hamming verify) on the planted near-dup corpus."""
+    """simhash_near_dup_pairs (60-bit SimHash, block-LSH candidates,
+    hamming verify) on the planted near-dup corpus. md5-derived token hash
+    (60 bits = 15 hex chars, exactly reproducible as a DuckDB BIGINT cast)
+    lets the oracle recompute the simhashes, the block-trick candidates and
+    the hamming filter bit-for-bit."""
     from shovel_spark.operators.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
-        _near_dup_corpus(spark, sf_dir), max_hamming=12
+        _near_dup_corpus(spark, sf_dir), max_hamming=12, bits=60, blocks=4,
+        family="md5",
     ).orderBy("id_a", "id_b")
 
 
-@_register("emb_lsh_near_dups")  # rows-only: md5-derived hyperplanes
+@_register(
+    "emb_lsh_near_dups",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.0001)
+      FROM embeddings WHERE vec_id < 50
+    ),
+    planes AS (
+      SELECT p, list(val ORDER BY j) AS plane FROM (
+        SELECT p, j,
+               (CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+                 / 2147483648.0 AS val
+        FROM (
+          SELECT p, j, ('0x' || substr(md5((7000 + p) || ':' || j), 1, 8))::BIGINT AS h
+          FROM range(0, 6) pp(p), range(0, 64) jj(j)
+        )
+      ) GROUP BY p
+    ),
+    sigs AS (
+      SELECT vec_id, any_value(v) AS v,
+             sum(CASE WHEN list_dot_product(v, plane) >= 0
+                      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM corpus, planes GROUP BY vec_id
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+    FROM sigs x JOIN sigs y ON x.sig = y.sig AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.999
+    ORDER BY id_a, id_b
+    """,
+)
 def emb_lsh_near_dups(spark, sf_dir):
     """embedding_near_dup_pairs (random-hyperplane LSH buckets + exact cosine
-    verify) on embeddings ∪ slightly-perturbed copies."""
+    verify) on embeddings ∪ slightly-perturbed copies. The hyperplanes are
+    md5-derived (similarity._plane: signed int32 of md5('seed:j')[:4] / 2^31)
+    so DuckDB regenerates them bit-for-bit and replays bucket + verify."""
     from shovel_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select("vec_id", "embedding")
@@ -963,23 +1091,90 @@ def emb_lsh_near_dups(spark, sf_dir):
     )
 
 
-@_register("emb_ivf_topk")  # rows-only: multi-stage IVF plan
+@_register(
+    "emb_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ppos AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e
+    ),
+    cm AS (SELECT label AS cell, pos, avg(val) AS m FROM ppos GROUP BY 1, 2),
+    cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    top_cells AS (
+      SELECT cell FROM cents, q
+      ORDER BY list_cosine_similarity(centroid, qv) DESC LIMIT 3
+    ),
+    assigned AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, cents WHERE vec_id != 0 GROUP BY vec_id
+    )
+    SELECT e.vec_id, round(list_cosine_similarity(v, qv), 4) AS sim
+    FROM e JOIN assigned ON e.vec_id = assigned.vec_id, q
+    WHERE assigned.cell IN (SELECT cell FROM top_cells)
+    ORDER BY list_cosine_similarity(v, qv) DESC, e.vec_id LIMIT 10
+    """,
+)
 def emb_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: label centroids (posexplode-avg), probe the 3
-    best cells, exact cosine within them."""
-    from shovel_spark.operators.similarity import centroids_from_labels, ivf_topk
+    """IVF approximate top-k over a MATERIALIZED index: label centroids
+    (posexplode-avg), vectors written partitioned by their nearest cell
+    (build_ivf_index), then the probe reads only the 3 best cell partitions
+    — partition pruning at the scan, no per-query re-assignment. The oracle
+    recomputes centroids / assignment / probe in DuckDB list math."""
+    import os
+
+    from shovel_spark.operators.similarity import (
+        build_ivf_index,
+        centroids_from_labels,
+        ivf_topk_indexed,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     cents = centroids_from_labels(e)
+    idx_path = os.path.join(
+        "/tmp/shovel_spark_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    build_ivf_index(e.filter(F.col("vec_id") != 0), cents, idx_path)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    top = ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=10, nprobe=3)
+    top = ivf_topk_indexed(spark, idx_path, cents, q, k=10, nprobe=3)
     return top.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
-@_register("multimodal_image_features")  # rows-only: mapInPandas feature UDF
+@_register(
+    "multimodal_image_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 64
+    ),
+    bt AS (
+      SELECT media_id,
+             ('0x' || substr(hx, CAST(2 * p - 1 AS INT), 2))::INT AS byte
+      FROM (
+        SELECT media_id, hx, unnest(range(1, least(n, 4096) + 1)) AS p
+        FROM m
+      )
+    ),
+    ent AS (SELECT media_id, entropy(byte) AS e FROM bt GROUP BY 1)
+    SELECT m.media_id,
+           CASE WHEN n = 0 THEN 0
+                ELSE 64 + (('0x' || substr(hx, 1, 2))::INT % 16) * 32
+           END AS width,
+           CASE WHEN n = 0 THEN 0
+                ELSE 64 + (('0x' || substr(hx, CAST(2 * n - 1 AS INT), 2))::INT % 16) * 32
+           END AS height,
+           n::BIGINT AS n_bytes,
+           round(ent.e, 4) AS entropy
+    FROM m LEFT JOIN ent USING (media_id)
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as opaque media payloads →
-    mapInPandas feature extraction (stub decode; real batch shape)."""
+    mapInPandas feature extraction (stub decode; real batch shape). The stub
+    decoder and the byte-entropy are pure byte math, so DuckDB reproduces
+    width/height/n_bytes/entropy from the same utf-8 bytes — the oracle
+    checks the whole Arrow round-trip, not just row counts."""
     from shovel_spark.io.multimodal import extract_image_features
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
@@ -1374,4 +1569,105 @@ def grok_log_roundtrip(spark, sf_dir):
             F.sum("user").alias("user_sum"),
             F.max("eid").alias("max_eid"),
         )
+    )
+
+
+@_register(
+    "proto_roundtrip",
+    """
+    SELECT event_type AS etype, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum, max(event_id) AS max_eid
+    FROM events GROUP BY 1
+    """,
+)
+def proto_roundtrip(spark, sf_dir):
+    """Protobuf codec contract (reference: src/decoders/protobuf.js +
+    src/encoders/protobuf.js over a .proto schema): events encoded to wire
+    bytes and decoded back, then aggregated — the oracle computes the same
+    aggregates from the raw columns, so any wire-format drift mismatches."""
+    from shovel_spark.functions.codecs import encode_protobuf, make_proto_decoder
+    from shovel_spark.functions.wire import parse_proto
+
+    spec = parse_proto(
+        "message Event { required int64 user = 1; required string etype = 2;"
+        " required int64 eid = 3; }"
+    )["Event"]
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("user_id").alias("user"),
+        F.col("event_type").alias("etype"),
+        F.col("event_id").alias("eid"),
+    )
+    dec = make_proto_decoder(spec, "user long, etype string, eid long")
+    decoded = (
+        ev.select(encode_protobuf(payload, spec).alias("bin"))
+        .select(dec(F.col("bin")).alias("r"))
+        .select("r.*")
+    )
+    return decoded.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.sum("user").alias("user_sum"),
+        F.max("eid").alias("max_eid"),
+    )
+
+
+@_register(
+    "proto_delimited_roundtrip",
+    """
+    SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS eid_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def proto_delimited_roundtrip(spark, sf_dir):
+    """Delimited protobuf framing (reference: src/decoders/protobuf.js:111-141
+    1→N stream mode; encoder Buffer.concat src/encoders/protobuf.js:57-62):
+    all of a user's events packed into ONE varint-framed payload, decoded
+    back out with the 1→N fan-out, re-aggregated."""
+    from shovel_spark.functions.codecs import encode_protobuf, make_proto_decoder
+    from shovel_spark.functions.wire import ProtoSpec
+
+    spec = ProtoSpec([(1, "user", "int64"), (2, "eid", "int64")])
+    ev = _t(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.col("user_id").alias("user"), F.col("event_id").alias("eid"))
+        ).alias("recs")
+    )
+    dec = make_proto_decoder(spec, "user long, eid long", delimited=True)
+    unpacked = (
+        packed.select(encode_protobuf(F.col("recs"), spec, delimited=True).alias("bin"))
+        .select(F.explode(dec(F.col("bin"))).alias("r"))
+        .select("r.*")
+    )
+    return unpacked.agg(
+        F.count("*").alias("n"),
+        F.sum("eid").alias("eid_sum"),
+        F.countDistinct("user").alias("n_users"),
+    )
+
+
+@_register(
+    "msgpack_roundtrip",
+    """
+    SELECT event_type AS etype, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def msgpack_roundtrip(spark, sf_dir):
+    """msgpack codec contract (reference: src/decoders/msgpack.js +
+    src/encoders/msgpack.js): struct → spec bytes → struct, aggregates must
+    survive the round-trip bit-for-bit."""
+    from shovel_spark.functions.codecs import encode_msgpack, make_msgpack_decoder
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct(F.col("event_type").alias("etype"), F.col("value"))
+    dec = make_msgpack_decoder("etype string, value double")
+    decoded = (
+        ev.select(encode_msgpack(payload).alias("bin"))
+        .select(dec(F.col("bin")).alias("r"))
+        .select("r.*")
+    )
+    return decoded.groupBy("etype").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )

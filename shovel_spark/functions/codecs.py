@@ -77,21 +77,42 @@ def decode_noop(col: Column) -> Column:
 # the batch form is well-defined: group lines into blank-line-delimited
 # blocks and emit one row per block)
 
-def assemble_multiline(df, line_col: str = "line", order_col: str = "id"):
+def assemble_multiline(df, line_col: str = "line", order_col: str = "id", part_col: str | None = None):
     """Stack consecutive lines until a blank line; one output row per block.
 
     Batch equivalent of the accumulate-and-flush decoder: a running count of
     blank lines (window cumsum) is the block id — one shuffle, no Python.
+
+    ``part_col`` (e.g. the source file) scopes the window: each partition
+    key sorts independently and blocks never span keys — the scale-safe
+    form (a log corpus has a natural file/host boundary, and blocks never
+    cross it). With ``part_col=None`` the window is GLOBAL: one task sorts
+    the entire input — correct, but only for small corpora; at scale always
+    pass the boundary column.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(order_col)
+    if part_col is not None:
+        w = Window.partitionBy(part_col).orderBy(order_col)
+        keys = [F.col(part_col), F.col("block_id")]
+        out_keys = [part_col, "block_id"]
+    else:
+        w = Window.orderBy(order_col)
+        keys = [F.col("block_id")]
+        out_keys = ["block_id"]
     block = F.sum(F.when(F.col(line_col) == "", 1).otherwise(0)).over(w)
+    # collect_list carries (order, line) and sorts inside the group:
+    # groupBy gives NO intra-group order guarantee (single-partition test
+    # runs hide that; a shuffled cluster run would scramble block lines)
+    lines = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l")))
+    )
     return (
         df.withColumn("block_id", block)
         .filter(F.col(line_col) != "")
-        .groupBy("block_id")
-        .agg(F.concat_ws("\n", F.collect_list(F.col(line_col))).alias("block"))
+        .groupBy(*keys)
+        .agg(F.array_join(F.transform(lines, lambda s: s["l"]), "\n").alias("block"))
+        .select(*out_keys, "block")
     )
 
 

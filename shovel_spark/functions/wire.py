@@ -297,8 +297,8 @@ def proto_decode_delimited(data: bytes, spec: ProtoSpec) -> list[dict]:
 
 
 _PROTO_FIELD = re.compile(
-    r"^\s*(optional|required|repeated)?\s*"
-    r"(double|float|int32|int64|uint32|uint64|sint32|sint64|fixed32|fixed64|"
+    r"(?:\b(optional|required|repeated)\s+)?"
+    r"\b(double|float|int32|int64|uint32|uint64|sint32|sint64|fixed32|fixed64|"
     r"sfixed32|sfixed64|bool|string|bytes)\s+"
     r"(\w+)\s*=\s*(\d+)\s*;"
 )
@@ -316,11 +316,9 @@ def parse_proto(text: str) -> dict[str, ProtoSpec]:
     for m in _PROTO_MSG.finditer(text):
         name, body = m.group(1), m.group(2)
         fields = []
-        for line in body.splitlines():
-            fm = _PROTO_FIELD.match(line)
-            if fm:
-                label, typ, fname, num = fm.groups()
-                fields.append((int(num), fname, typ, label == "repeated"))
+        for fm in _PROTO_FIELD.finditer(body):
+            label, typ, fname, num = fm.groups()
+            fields.append((int(num), fname, typ, label == "repeated"))
         specs[name] = ProtoSpec(fields)
     return specs
 

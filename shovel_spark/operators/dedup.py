@@ -106,16 +106,32 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
-) -> DataFrame:
-    """(id, sig: array<long>) — num_hashes MinHash values per document.
+#: Hash families for MinHash/SimHash. 'xxhash64' is the production default
+#: (JVM-native, fastest). 'md5' derives the hash from md5 — bit-identical in
+#: every engine (DuckDB, Trino, ...) so the full chain is oracle-checkable;
+#: MinHash only needs a uniform hash, not a specific one, so the choice is
+#: a verification knob, not a semantic change.
 
-    One aggregation: min over xxhash64(seed_i, shingle) per seed, computed
+def _seeded_hash(family: str, seed: int, col: Column) -> Column:
+    if family == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if family == "md5":
+        # min() over md5 hex strings: lexicographic on a uniform hex string
+        # is as order-uniform as numeric min over a 64-bit int
+        return F.md5(F.concat(F.lit(f"{seed}:"), col))
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, family: str = "xxhash64"
+) -> DataFrame:
+    """(id, sig: array<long|string>) — num_hashes MinHash values per document.
+
+    One aggregation: min over hash(seed_i, shingle) per seed, computed
     as an array fold — no explode of the hash family.
     """
     hashes = F.array(
-        *[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)]
+        *[_seeded_hash(family, i, F.col("shingle")) for i in range(num_hashes)]
     )
     return (
         sh.select(F.col(id_col), hashes.alias("h"))
@@ -129,30 +145,38 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int | None = None,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-slice of their signature become a
     candidate pair. Join key is (band, hash-of-slice) — equi-join, shuffle
-    on a compact key, AQE handles residual bucket skew."""
-    n = sigs.select(F.size("sig")).first()[0]
+    on a compact key, AQE handles residual bucket skew.
+
+    Pass ``num_hashes`` (the signature length) explicitly — omitting it
+    costs a driver-side .first() job just to learn the array size."""
+    n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, n // bands)
+
+    def _bucket(b: int) -> Column:
+        slice_key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        # compact 16-byte key either way; md5 family keeps it engine-neutral
+        return F.md5(slice_key) if family == "md5" else F.xxhash64(slice_key)
+
     buckets = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -180,12 +204,13 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_doc_freq: int | None = None,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash→LSH→verify chain: candidates from band buckets, then
     exact Jaccard verification on candidates only."""
     sh = shingle_table(df, text_col, id_col, k, max_doc_freq)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    sigs = minhash_signatures(sh, id_col, num_hashes, family)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, num_hashes, family)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -206,14 +231,25 @@ def minhash_dedup_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64, family: str = "xxhash64") -> Column:
     """SimHash over word tokens: per bit, sign of the sum of token-hash bits.
 
-    Vectorized as an aggregate over the token array — bit i of xxhash64(token)
+    Vectorized as an aggregate over the token array — bit i of hash(token)
     contributes +1/-1; the sign vector packs back into one long.
+
+    family='md5' uses a 60-bit md5-derived token hash (conv of the first 15
+    hex chars) that DuckDB reproduces exactly (('0x'||substr(md5(t),1,15))
+    ::BIGINT) — requires bits <= 60.
     """
+    if family == "md5" and bits > 60:
+        raise ValueError("md5 family exposes 60 hash bits; use bits <= 60")
     toks = tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if family == "md5":
+        th = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
     bit_cols = []
     for i in range(bits):
         # sum over tokens of (bit set ? 1 : -1) > 0  → bit i of the simhash
@@ -238,6 +274,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     blocks: int = 4,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Hamming-ball near-dup via the block trick: split the simhash into
     ``blocks`` chunks; any pair within ``max_hamming < blocks`` must agree on
@@ -246,7 +283,7 @@ def simhash_near_dup_pairs(
     """
     width = bits // blocks
     mask = (1 << width) - 1
-    sims = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    sims = df.select(F.col(id_col), simhash(F.col(text_col), bits, family).alias("sh"))
     chunks = sims.select(
         id_col,
         "sh",

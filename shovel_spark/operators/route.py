@@ -42,6 +42,58 @@ class SinkRule:
     predicate: Column
 
 
+#: header key that carries a per-message sink override — the analog of the
+#: reference's per-message routing metadata riding on the header map
+#: (reference: src/core/message.js:89-92 setHeader / outputs reading
+#: getHeader to steer delivery, e.g. src/encoders/protobuf.js:6,63).
+SINK_OVERRIDE_HEADER = "x-shovel-sink"
+
+_DEFAULT_CONTENT_TYPE = "application/octet-stream"  # src/core/message.js:4
+
+
+def promote_headers(df: DataFrame, col: str = "headers") -> DataFrame:
+    """Normalize the message-header envelope and promote hot keys.
+
+    Mirrors the reference's Message semantics (src/core/message.js:56,81-92):
+      - header keys are case-insensitive → lowercased once here, at plan
+        time, instead of per-get;
+      - a missing map becomes an empty map, and 'content-type' defaults to
+        application/octet-stream (src/core/message.js:61-63);
+      - hot keys used in routing predicates are promoted to top-level
+        columns (``hdr_sink``, ``content_type``) so the route stays a
+        codegen'd column chain — map lookups in a hot predicate would
+        still work, but flat columns prune/pushdown better.
+    """
+    lowered = F.map_from_entries(
+        F.transform(
+            F.map_entries(F.col(col)),
+            lambda e: F.struct(F.lower(e["key"]).alias("key"), e["value"].alias("value")),
+        )
+    )
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    normalized = F.coalesce(lowered, empty)
+    return (
+        df.withColumn(col, normalized)
+        .withColumn(
+            "content_type",
+            F.coalesce(
+                F.element_at(F.col(col), "content-type"), F.lit(_DEFAULT_CONTENT_TYPE)
+            ),
+        )
+        .withColumn("hdr_sink", F.element_at(F.col(col), SINK_OVERRIDE_HEADER))
+    )
+
+
+def header_override_rule() -> SinkRule:
+    """First-priority rule: a message whose headers carry an explicit sink
+    goes there, whatever the content says. Prepend to a rule list:
+    ``[header_override_rule(), *default_sink_rules()]`` — the sink NAME is
+    dynamic per row, so apply_routes special-cases it (see below)."""
+    return SinkRule("__header__", F.col("hdr_sink").isNotNull())
+
+
 def default_sink_rules() -> list[SinkRule]:
     """The demo pipeline's sinks: rule_sink override first (per-message
     routing header analog, reference: src/core/message.js:89-92), then
@@ -70,7 +122,9 @@ def apply_routes(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
 
     sink_expr = F.lit(None).cast("string")
     for rule in reversed(sinks):
-        sink_expr = F.when(rule.predicate, F.lit(rule.name)).otherwise(sink_expr)
+        # the header-override rule's sink name is per-row (the header value)
+        target = F.col("hdr_sink") if rule.name == "__header__" else F.lit(rule.name)
+        sink_expr = F.when(rule.predicate, target).otherwise(sink_expr)
 
     status = (
         F.when(rejected, F.lit(STATUS_REJECTED))
@@ -94,7 +148,15 @@ def apply_routes_broadcast(df: DataFrame, sinks: list[SinkRule]) -> DataFrame:
     """
     rejected = (~F.col("parsed.ok")) | (F.col("rule_action") == "deny")
     matched = F.array_compact(
-        F.array(*[F.when(rule.predicate, F.lit(rule.name)) for rule in sinks])
+        F.array(
+            *[
+                F.when(
+                    rule.predicate,
+                    F.col("hdr_sink") if rule.name == "__header__" else F.lit(rule.name),
+                )
+                for rule in sinks
+            ]
+        )
     )
     status = (
         F.when(rejected, F.lit(STATUS_REJECTED))

@@ -137,12 +137,38 @@ def centroids_from_labels(
     )
 
 
-def ivf_topk(
-    df: DataFrame, centroids: DataFrame, query_vec: list[float], k: int = 10,
-    nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+def build_ivf_index(
+    df: DataFrame, centroids: DataFrame, path: str,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: vectors written cell-partitioned.
+
+    This is the build step a real ANN deployment amortizes over millions of
+    queries — assign once, write ``partitionBy('cell')``, and every query
+    after that PRUNES to nprobe cell directories at the parquet scan
+    (PartitionFilters), touching n*nprobe/n_cells of the corpus I/O."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col).select(id_col, "cell")
+    (
+        df.join(assigned, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark, index_path: str, centroids: DataFrame, query_vec: list[float],
+    k: int = 10, nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF query: rank cells by centroid similarity, scan the top ``nprobe``
-    cells only, exact cosine within them."""
+    """IVF query over a materialized index: rank cells by centroid
+    similarity (a centroids-only driver job — n_cells rows, never the
+    corpus), then scan ONLY the top ``nprobe`` cell partitions (the
+    ``cell IN (...)`` filter prunes at the scan) and rank by exact cosine.
+
+    Per-query cost: nprobe/n_cells of the index I/O + a map-only top-k —
+    no shuffle, no re-assignment. This is the 100 TB path; the one-shot
+    :func:`ivf_topk` below trades index reuse for zero setup."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     top_cells = [
         r["cell"]
@@ -151,7 +177,37 @@ def ivf_topk(
         .limit(nprobe)
         .collect()
     ]
-    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(top_cells))
+    sim = cosine(F.col(vec_col), q)
+    return (
+        idx.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame, centroids: DataFrame, query_vec: list[float], k: int = 10,
+    nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """One-shot IVF query (no materialized index): rank cells by centroid
+    similarity, scan the top ``nprobe`` cells only, exact cosine within.
+
+    Pass ``assigned`` (a cached/materialized ivf_assign output) when issuing
+    multiple queries — otherwise each call re-assigns the corpus, which
+    defeats IVF's purpose. For a standing index use
+    :func:`build_ivf_index` + :func:`ivf_topk_indexed` (partition-pruned)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    top_cells = [
+        r["cell"]
+        for r in centroids.select("cell", cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(nprobe)
+        .collect()
+    ]
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
     sim = cosine(F.col(vec_col), q)
     return (
         df.join(assigned.filter(F.col("cell").isin(top_cells)).select(id_col), id_col, "left_semi")

@@ -211,3 +211,28 @@ def test_explode_delimited_bad_segment_is_null_record(spark):
     out = codecs.explode_delimited(df, "v", "k int").collect()
     ks = sorted([r.record.k if r.record else None for r in out], key=lambda x: (x is None, x))
     assert ks == [1, None]
+
+
+def test_multiline_partition_scoped_two_files(spark):
+    """Scale-safe multiline: with part_col, blocks never span files and the
+    plan has no single-partition global sort (the global-window form's
+    scale-killer)."""
+    rows = [
+        ("f1", 0, "a1"), ("f1", 1, "a2"), ("f1", 2, ""), ("f1", 3, "b1"),
+        ("f2", 0, "c1"), ("f2", 1, ""), ("f2", 2, "d1"), ("f2", 3, "d2"),
+    ]
+    df = spark.createDataFrame(rows, "file string, id long, line string").repartition(4)
+    out = codecs.assemble_multiline(df, part_col="file")
+    got = {(r.file, r.block) for r in out.collect()}
+    assert got == {("f1", "a1\na2"), ("f1", "b1"), ("f2", "c1"), ("f2", "d1\nd2")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_multiline_block_order_survives_shuffle(spark):
+    """Lines inside a block come back in order even when input partitioning
+    scrambles row order (array_sort on the carried order key)."""
+    lines = [(i, line) for i, line in enumerate(["x1", "x2", "x3", "", "y1", "y2"])]
+    df = spark.createDataFrame(list(reversed(lines)), "id long, line string").repartition(5)
+    blocks = {r.block for r in codecs.assemble_multiline(df).collect()}
+    assert blocks == {"x1\nx2\nx3", "y1\ny2"}

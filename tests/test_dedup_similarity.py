@@ -132,3 +132,55 @@ def test_hyperplane_signature_deterministic(spark):
     a = e.select("vec_id", similarity.hyperplane_signature(F.col("embedding")).alias("s")).collect()
     b = e.select("vec_id", similarity.hyperplane_signature(F.col("embedding")).alias("s")).collect()
     assert sorted(a) == sorted(b)
+
+
+def test_md5_family_matches_xxhash_family_pairs(docs):
+    """The hash family is a verification knob, not a semantic change: both
+    families must surface the same high-jaccard pairs on the test corpus
+    (their candidate sets may differ on borderline pairs; verified pairs at
+    threshold 0.5 with 16 hashes should coincide here)."""
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=8).collect()
+    }
+    neutral = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, num_hashes=16, bands=8, family="md5"
+        ).collect()
+    }
+    assert (0, 1) in neutral and (0, 4) in neutral  # planted dups always found
+    assert fast == neutral
+
+
+def test_simhash_md5_family_60bit(docs):
+    """60-bit md5-family simhash: exact dups at hamming 0, near dups low."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(
+            docs, max_hamming=12, bits=60, blocks=4, family="md5"
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0
+    # doc 3 is unrelated: no (0,3)/(1,3) pair may pass the hamming gate
+    assert all(3 not in p for p in pairs)
+
+
+def test_ivf_materialized_index_prunes_partitions(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: the probe's scan must carry a
+    PartitionFilters entry on cell (zero I/O for unprobed cells) and return
+    the same rows as the one-shot ivf_topk."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.centroids_from_labels(e)
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(e.filter(F.col("vec_id") != 0), cents, path)
+
+    got = similarity.ivf_topk_indexed(spark, path, cents, q, k=5, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    one_shot = similarity.ivf_topk(e.filter(F.col("vec_id") != 0), cents, q, k=5, nprobe=3)
+    assert [(r.vec_id, round(r.sim, 6)) for r in got.collect()] == [
+        (r.vec_id, round(r.sim, 6)) for r in one_shot.collect()
+    ]

@@ -1,0 +1,50 @@
+"""Message-header envelope: lowercased map, content-type default, and
+per-message sink override riding on the headers (reference:
+src/core/message.js:56-63 setup, :81-92 get/setHeader lowercasing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shovel_spark.operators.route import (
+    SinkRule,
+    apply_routes,
+    header_override_rule,
+    promote_headers,
+)
+
+
+def _pages(spark):
+    rows = [
+        # url, html-ok?, lang, headers
+        ("u1", True, "en", {"X-Shovel-Sink": "audit"}),  # mixed-case key → lowered
+        ("u2", True, "en", {"content-type": "text/html"}),
+        ("u3", True, "fr", None),  # no headers at all
+        ("u4", False, "en", {"x-shovel-sink": "audit"}),  # reject wins over override
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ok boolean, lang_norm string, headers map<string,string>"
+    )
+    return df.withColumn(
+        "parsed", F.struct(F.col("ok").alias("ok"))
+    ).withColumn("rule_action", F.lit(None).cast("string"))
+
+
+def test_promote_headers_lowercases_and_defaults(spark):
+    out = promote_headers(_pages(spark)).collect()
+    by_url = {r.url: r for r in out}
+    assert by_url["u1"].headers == {"x-shovel-sink": "audit"}
+    assert by_url["u1"].hdr_sink == "audit"
+    assert by_url["u1"].content_type == "application/octet-stream"
+    assert by_url["u2"].content_type == "text/html"
+    assert by_url["u3"].headers == {} and by_url["u3"].hdr_sink is None
+
+
+def test_header_sink_override_first_match(spark):
+    rules = [header_override_rule(), SinkRule("english", F.col("lang_norm") == "en")]
+    routed = apply_routes(promote_headers(_pages(spark)), rules).collect()
+    got = {r.url: (r.status, r.sink) for r in routed}
+    assert got["u1"] == ("acked", "audit")  # override beats the lang rule
+    assert got["u2"] == ("acked", "english")
+    assert got["u3"] == ("ignored", None)  # fr matches nothing
+    assert got["u4"] == ("rejected", "dead_letter")  # reject trumps override
