@@ -28,6 +28,7 @@ Example::
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -140,3 +141,51 @@ def _substitute_deep(value):
     if isinstance(value, list):
         return [_substitute_deep(v) for v in value]
     return value
+
+
+# --- duration strings (reference: src/core/utils.js:97-101 wraps the
+# parse-duration package; used for flush timeouts and batching windows) ---
+
+_DURATION_SEG = re.compile(r"(-?\d*\.?\d+)\s*([a-zA-Zµ]*)")
+
+_MS = 1.0
+_DURATION_UNITS = {
+    "": _MS, "ms": _MS, "millisecond": _MS, "milliseconds": _MS,
+    "ns": _MS / 1e6, "nanosecond": _MS / 1e6, "nanoseconds": _MS / 1e6,
+    "us": _MS / 1e3, "µs": _MS / 1e3, "microsecond": _MS / 1e3, "microseconds": _MS / 1e3,
+    "s": 1000.0, "sec": 1000.0, "secs": 1000.0, "second": 1000.0, "seconds": 1000.0,
+    "m": 60_000.0, "min": 60_000.0, "mins": 60_000.0, "minute": 60_000.0, "minutes": 60_000.0,
+    "h": 3_600_000.0, "hr": 3_600_000.0, "hrs": 3_600_000.0, "hour": 3_600_000.0, "hours": 3_600_000.0,
+    "d": 86_400_000.0, "day": 86_400_000.0, "days": 86_400_000.0,
+    "w": 604_800_000.0, "wk": 604_800_000.0, "week": 604_800_000.0, "weeks": 604_800_000.0,
+    "y": 31_557_600_000.0, "yr": 31_557_600_000.0, "year": 31_557_600_000.0, "years": 31_557_600_000.0,
+    "mo": 31_557_600_000.0 / 12, "month": 31_557_600_000.0 / 12, "months": 31_557_600_000.0 / 12,
+}
+
+
+def parse_duration(value: str | int | float) -> float:
+    """'1h 30min' / '500ms' / '2.5 hrs' / 90 → milliseconds.
+
+    The config-surface twin of the reference's Utils.Duration.parse
+    (src/core/utils.js:97-101, parse-duration semantics: unit-suffixed
+    segments summed; a bare number is milliseconds; year = 365.25 days,
+    month = year/12). Raises ValueError on unknown units or empty input.
+    """
+    if isinstance(value, (int, float)):
+        return float(value)
+    text = value.strip()
+    if not text:
+        raise ValueError("empty duration")
+    total = 0.0
+    matches = list(_DURATION_SEG.finditer(text))
+    # every non-separator character must belong to a parsed segment
+    consumed = "".join(re.sub(r"[\s,]+", "", m.group(0)) for m in matches)
+    if not matches or consumed != re.sub(r"[\s,]+", "", text):
+        raise ValueError(f"cannot parse duration {value!r}")
+    for m in matches:
+        num, unit = m.groups()
+        key = unit.lower()
+        if key not in _DURATION_UNITS:
+            raise ValueError(f"unknown duration unit {unit!r} in {value!r}")
+        total += float(num) * _DURATION_UNITS[key]
+    return total

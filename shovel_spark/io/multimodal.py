@@ -124,6 +124,40 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     return frames.repartition("media_id").select("media_id", "frame_idx", "mime")
 
 
+def read_media_dir(
+    spark, path: str, kind: str = "image", glob: str | None = None, stream: bool = False
+) -> DataFrame:
+    """Raw files on disk → MEDIA_SCHEMA rows via Spark's ``binaryFile``
+    source — the batch analog of the reference's raw-chunk stream input
+    (reference: src/core/readers/raw.js emits whole-payload binary chunks).
+
+    Each file becomes one row: payload in ``data``, provenance (path,
+    mtime, length) in ``meta``. ``stream=True`` uses readStream (the same
+    source supports file-arrival streaming) for directory-watching intake.
+    media_id is the stable hash of the path — deterministic across runs,
+    like every other id here."""
+    reader = (spark.readStream if stream else spark.read).format("binaryFile")
+    if stream:
+        # streaming file sources require an explicit schema; binaryFile's is fixed
+        reader = reader.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(f"application/x-{kind}").alias("mime"),
+        F.col("content").alias("data"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("modification_time"), F.col("modificationTime").cast("string"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary payload from hashed ids)."""
     df = spark.range(n)

@@ -132,3 +132,23 @@ def test_empty_lookup_configs_use_defaults(spark):
     langs = {r["lang_norm"] for r in routed.select("lang_norm").distinct().collect()}
     assert langs == {"und"}
     assert routed.filter(F.col("rule_action") == "deny").count() == 0
+
+
+def test_parse_duration_reference_semantics():
+    """Utils.Duration.parse twin (reference: src/core/utils.js:97-101,
+    parse-duration package semantics)."""
+    from shovel_spark.config import parse_duration
+
+    assert parse_duration("500ms") == 500
+    assert parse_duration("1h 30min") == 5_400_000
+    assert parse_duration("2.5 hrs") == 9_000_000
+    assert parse_duration("1h,20m") == 4_800_000
+    assert parse_duration(90) == 90.0
+    assert parse_duration("90") == 90.0
+    assert parse_duration("-5s") == -5000
+    assert parse_duration("1y") == 12 * parse_duration("1mo")
+    import pytest
+
+    for bad in ("", "abc", "3 parsecs", "1h xx"):
+        with pytest.raises(ValueError):
+            parse_duration(bad)

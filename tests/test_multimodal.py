@@ -39,3 +39,28 @@ def test_video_frame_sampling_fanout(spark):
     frames = mm.sample_video_frames(media)
     assert frames.count() > n_videos  # 1→N fan-out
     assert set(frames.columns) == {"media_id", "frame_idx", "mime"}
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile source → MEDIA_SCHEMA rows (the reference's raw binary
+    chunk input, src/core/readers/raw.js): one row per file, payload bytes
+    intact, provenance in meta; the same source opens as a stream."""
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not media")
+
+    from shovel_spark.io.multimodal import extract_image_features, read_media_dir
+
+    media = read_media_dir(spark, str(tmp_path), kind="image", glob="*.bin")
+    rows = media.collect()
+    assert len(rows) == 2
+    by_name = {r.meta["path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert bytes(by_name["a.bin"].data) == b"\x00\x01payload-a"
+    assert by_name["b.bin"].meta["length"] == "9"
+    assert all(r.kind == "image" and r.mime == "application/x-image" for r in rows)
+
+    feats = extract_image_features(media).collect()
+    assert {f.n_bytes for f in feats} == {11, 9}
+
+    streamed = read_media_dir(spark, str(tmp_path), glob="*.bin", stream=True)
+    assert streamed.isStreaming
