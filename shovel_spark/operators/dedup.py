@@ -243,13 +243,25 @@ def simhash(text: Column, bits: int = 64, family: str = "xxhash64") -> Column:
     """
     if family == "md5" and bits > 60:
         raise ValueError("md5 family exposes 60 hash bits; use bits <= 60")
+    return simhash_from_hashes(token_hashes(text, family), bits)
+
+
+def token_hashes(text: Column, family: str = "xxhash64") -> Column:
+    """array<long> of per-token hashes — materialize this behind its own
+    projection before feeding simhash_from_hashes: expressions inside
+    higher-order lambdas get no common-subexpression elimination, so an
+    inlined hash array is re-hashed once PER BIT (measured ~3× slower at
+    60 bits; same trap as the shingle split above)."""
     toks = tokens(text)
     if family == "md5":
-        th = F.transform(
+        return F.transform(
             toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
         )
-    else:
-        th = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash_from_hashes(th: Column, bits: int = 64) -> Column:
+    """Pack the per-bit majority votes over pre-computed token hashes."""
     bit_cols = []
     for i in range(bits):
         # sum over tokens of (bit set ? 1 : -1) > 0  → bit i of the simhash
@@ -283,7 +295,12 @@ def simhash_near_dup_pairs(
     """
     width = bits // blocks
     mask = (1 << width) - 1
-    sims = df.select(F.col(id_col), simhash(F.col(text_col), bits, family).alias("sh"))
+    if family == "md5" and bits > 60:
+        raise ValueError("md5 family exposes 60 hash bits; use bits <= 60")
+    # hash array materialized in its own projection (see token_hashes)
+    sims = df.select(
+        F.col(id_col), token_hashes(F.col(text_col), family).alias("__th")
+    ).select(id_col, simhash_from_hashes(F.col("__th"), bits).alias("sh"))
     chunks = sims.select(
         id_col,
         "sh",
