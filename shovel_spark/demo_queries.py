@@ -486,7 +486,8 @@ def docs_unique_per_lang(spark, sf_dir):
       FROM documents
     )
     SELECT lang, count(*) AS n_docs, round(avg(tokens), 2) AS avg_tokens,
-           max(tokens) AS max_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           CAST(max(tokens) AS INT) AS max_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY 1
     """,
 )
@@ -1017,7 +1018,7 @@ def docs_minhash_near_dups(spark, sf_dir):
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-             bit_count(xor(x.sh, y.sh)) AS hamming
+             CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
       FROM chunks x JOIN chunks y
         ON x.block = y.block AND x.chunk = y.chunk AND x.doc_id < y.doc_id
     )
@@ -1273,7 +1274,7 @@ def moving_avg_peak(spark, sf_dir):
       SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
       FROM events
     )
-    SELECT decile, count(*) AS n, round(avg(value), 3) AS avg_value
+    SELECT CAST(decile AS INT) AS decile, count(*) AS n, round(avg(value), 3) AS avg_value
     FROM d GROUP BY 1
     """,
 )
