@@ -1672,3 +1672,68 @@ def msgpack_roundtrip(spark, sf_dir):
     return decoded.groupBy("etype").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@_register(
+    "emb_kmeans_cells",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS centroid
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    a1 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c0 GROUP BY vec_id
+    ),
+    m1 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a1.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a1 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1 GROUP BY 1),
+    a2 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c1 GROUP BY vec_id
+    ),
+    m2 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a2.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a2 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m2 GROUP BY 1),
+    a3 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c2 GROUP BY vec_id
+    )
+    SELECT c2.cell, count(*) AS n_members,
+           round(sqrt(list_dot_product(centroid, centroid)), 4) AS centroid_norm
+    FROM c2 JOIN a3 ON c2.cell = a3.cell
+    GROUP BY c2.cell, centroid
+    ORDER BY c2.cell
+    """,
+)
+def emb_kmeans_cells(spark, sf_dir):
+    """Iterative spherical k-means (Lloyd's, 2 iterations, k=4,
+    deterministic lowest-id init): the oracle replays both iterations as
+    chained CTEs — centroid rounding between iterations keeps the two
+    engines' trajectories bit-identical, so cluster membership counts and
+    centroid norms must match exactly."""
+    from shovel_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=4, iters=2)
+    assigned = ivf_assign(e, cents, "embedding", "vec_id").select("vec_id", "cell")
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    norm = F.round(F.sqrt(dot(F.col("centroid"), F.col("centroid"))), 4)
+    return (
+        cents.join(counts, "cell")
+        .select("cell", "n_members", norm.alias("centroid_norm"))
+        .orderBy("cell")
+    )

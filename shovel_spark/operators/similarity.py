@@ -137,6 +137,53 @@ def centroids_from_labels(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame, k: int = 4, iters: int = 3,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over an embedding column — the iterative
+    centroid learner for a real IVF index (label centroids are a stand-in).
+
+    Per iteration: broadcast the k centroids, assign every vector to its
+    max-cosine cell (one map-side pass, no corpus shuffle beyond the k-row
+    groupBy), recompute per-cell means (posexplode + two-level agg). Only
+    k rows ever cross to the driver per iteration.
+
+    Determinism (and engine-neutrality for the oracle): init = the k
+    lowest-id vectors; centroid components are rounded to
+    ``round_decimals`` between iterations, so Spark's and another engine's
+    avg accumulation order can't drift the trajectory apart bit-by-bit.
+    A cell that loses all members disappears (classic Lloyd's behavior).
+    """
+    spark = df.sparkSession
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"))
+        .collect()
+    )
+    cents = [(i, list(r.centroid)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cell bigint, centroid array<double>")
+        assigned = ivf_assign(df, cdf, vec_col, id_col).select(id_col, "cell")
+        means = (
+            df.join(assigned, id_col)
+            .select("cell", F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), round_decimals).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        cents = [(int(r.cell), list(r.centroid)) for r in means]
+    return spark.createDataFrame(cents, "cell bigint, centroid array<double>")
+
+
 def build_ivf_index(
     df: DataFrame, centroids: DataFrame, path: str,
     vec_col: str = "embedding", id_col: str = "vec_id",

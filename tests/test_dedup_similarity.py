@@ -184,3 +184,25 @@ def test_ivf_materialized_index_prunes_partitions(spark, tmp_path):
     assert [(r.vec_id, round(r.sim, 6)) for r in got.collect()] == [
         (r.vec_id, round(r.sim, 6)) for r in one_shot.collect()
     ]
+
+
+def test_kmeans_centroids_deterministic_and_sane(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.kmeans_centroids(e, k=4, iters=2)
+    b = similarity.kmeans_centroids(e, k=4, iters=2)
+    ra = sorted((r.cell, tuple(r.centroid)) for r in a.collect())
+    rb = sorted((r.cell, tuple(r.centroid)) for r in b.collect())
+    assert ra == rb  # deterministic init + rounded trajectory
+    assert 1 <= len(ra) <= 4 and all(len(c) == 64 for _, c in ra)
+    # objective sanity: mean cosine-to-own-centroid must not decrease vs init
+    from pyspark.sql import functions as F
+
+    def mean_sim(cents):
+        assigned = similarity.ivf_assign(e, cents)
+        return assigned.agg(F.avg("centroid_sim")).first()[0]
+
+    init = e.orderBy("vec_id").limit(4).select(
+        F.monotonically_increasing_id().alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assert mean_sim(a) >= mean_sim(init) - 1e-9
