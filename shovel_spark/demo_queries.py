@@ -938,10 +938,10 @@ _ND_SHINGLE_SQL = r"""
 """
 
 
-@_register(
-    "docs_minhash_near_dups",
-    f"""
-    WITH corpus AS ({_ND_CORPUS_SQL}),
+#: full MinHash→LSH→verify chain as DuckDB CTEs ending in a ``pairs``
+#: relation (id_a, id_b, jaccard >= 0.5) — shared by the near-dup pair
+#: query and the dup-cluster query.
+_ND_MINHASH_CTES = f"""corpus AS ({_ND_CORPUS_SQL}),
     sh AS ({_ND_SHINGLE_SQL}),
     hv AS (
       SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
@@ -964,13 +964,22 @@ _ND_SHINGLE_SQL = r"""
       JOIN sh a ON a.doc_id = cand.id_a
       JOIN sh b ON b.doc_id = cand.id_b AND a.shingle = b.shingle
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-    ORDER BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )"""
+
+
+@_register(
+    "docs_minhash_near_dups",
+    f"""
+    WITH {_ND_MINHASH_CTES}
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM pairs ORDER BY id_a, id_b
     """,
 )
 def docs_minhash_near_dups(spark, sf_dir):
@@ -1737,3 +1746,51 @@ def emb_kmeans_cells(spark, sf_dir):
         .select("cell", "n_members", norm.alias("centroid_norm"))
         .orderBy("cell")
     )
+
+
+@_register(
+    "docs_dup_clusters",
+    f"""
+    WITH {_ND_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l0 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l0 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l1 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l1 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l2 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l2 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    )
+    SELECT label AS canonical, count(*) AS cluster_size
+    FROM l3 GROUP BY 1 ORDER BY 1
+    """,
+)
+def docs_dup_clusters(spark, sf_dir):
+    """Dup-cluster resolution: MinHash near-dup pairs → connected components
+    (min-label propagation, 3 fixed rounds) → one canonical id + size per
+    cluster — the keep-one-per-cluster step of a dedup pipeline. The oracle
+    replays the same three propagation rounds as chained CTEs."""
+    from shovel_spark.operators.dedup import dup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _near_dup_corpus(spark, sf_dir), threshold=0.5, num_hashes=16, bands=8,
+        family="md5",
+    )
+    return dup_clusters(pairs, iters=3).orderBy("canonical")

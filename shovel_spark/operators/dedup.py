@@ -362,3 +362,63 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- dup-cluster resolution (connected components) ----------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 5,
+) -> DataFrame:
+    """(node, component) labels over a near-dup pair list — min-label
+    propagation (the distributed union-find for dedup clustering: pairs say
+    "these two are the same document"; the component's min id is the
+    canonical survivor).
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels — one equi-join + groupBy per iteration, converges in
+    O(component diameter) rounds (near-dup clusters are shallow: a handful
+    of rounds covers chains far longer than real boilerplate families).
+    ``iters`` is FIXED, not a convergence loop, so the trajectory is
+    deterministic and an external oracle can replay it; localCheckpoint
+    truncates the per-iteration lineage (no exponential plan growth).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iters):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb"))
+        )
+        labels = (
+            labels.join(nb_min, labels.id == nb_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nb"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.withColumnRenamed("label", "component")
+
+
+def dup_clusters(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", iters: int = 5
+) -> DataFrame:
+    """Near-dup pairs → (canonical, cluster_size): the keep-one-per-cluster
+    resolution step after MinHash/SimHash pair generation (the min id in
+    each component is the canonical document to keep)."""
+    cc = connected_components(pairs, a_col, b_col, iters)
+    return cc.groupBy(F.col("component").alias("canonical")).agg(
+        F.count("*").alias("cluster_size")
+    )

@@ -206,3 +206,17 @@ def test_kmeans_centroids_deterministic_and_sane(spark):
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
     assert mean_sim(a) >= mean_sim(init) - 1e-9
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A 4-node chain (0-1, 1-2, 2-3) must collapse to one component with
+    canonical 0; disjoint pair (10, 11) stays its own cluster."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in dedup.connected_components(pairs, iters=4).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    clusters = {
+        r.canonical: r.cluster_size for r in dedup.dup_clusters(pairs, iters=4).collect()
+    }
+    assert clusters == {0: 4, 10: 2}
