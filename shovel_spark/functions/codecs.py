@@ -317,6 +317,21 @@ def encode_protobuf(col: Column, spec, delimited: bool = False) -> Column:
     return _enc(F.to_json(col))
 
 
+def decode_proto_or_json(
+    payload: Column, content_type: Column, spec, schema
+) -> Column:
+    """Per-row decoder pick by content-type — the reference's protobuf
+    decoder accepts JSON-encoded payloads when the message's content-type
+    says application/json (src/decoders/protobuf.js:96-105, test
+    tests/decoders/protobuf.js 'decode: json'). One when-chain: JSON rows
+    stay fully JVM-side (from_json), wire rows take the Arrow UDF."""
+    wire_decoder = make_proto_decoder(spec, schema)
+    is_json = F.lower(F.trim(F.regexp_extract(content_type, r"^([^;]+)", 1))) == "application/json"
+    return F.when(is_json, F.from_json(payload.cast("string"), _as_struct_type(schema))).otherwise(
+        wire_decoder(payload.cast("binary"))
+    )
+
+
 def decode_protobuf_jvm(col: Column, message_name: str, desc_file_path: str) -> Column:
     """JVM-side protobuf decode via spark-protobuf, the preferred path on a
     real cluster where the spark-protobuf package is on the classpath (it

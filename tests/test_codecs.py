@@ -236,3 +236,20 @@ def test_multiline_block_order_survives_shuffle(spark):
     df = spark.createDataFrame(list(reversed(lines)), "id long, line string").repartition(5)
     blocks = {r.block for r in codecs.assemble_multiline(df).collect()}
     assert blocks == {"x1\nx2\nx3", "y1\ny2"}
+
+
+def test_protobuf_json_content_type_mode(spark):
+    """reference: tests/decoders/protobuf.js 'decode: json' — the protobuf
+    decoder slot accepts JSON payloads when content-type says so."""
+    from shovel_spark.functions.wire import ProtoSpec, proto_encode
+
+    spec = ProtoSpec([(1, "test", "string")])
+    rows = [
+        (bytearray(proto_encode({"test": "wire"}, spec)), "application/octet-stream"),
+        (bytearray(b'{"test":"json"}'), "application/json; charset=utf-8"),
+    ]
+    df = spark.createDataFrame(rows, "v binary, ct string")
+    out = df.select(
+        codecs.decode_proto_or_json(F.col("v"), F.col("ct"), spec, "test string").alias("o")
+    ).collect()
+    assert sorted(r.o.test for r in out) == ["json", "wire"]
