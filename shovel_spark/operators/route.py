@@ -86,6 +86,36 @@ def promote_headers(df: DataFrame, col: str = "headers") -> DataFrame:
     )
 
 
+def set_header(df: DataFrame, key: str, value: Column | str, col: str = "headers") -> DataFrame:
+    """setHeader analog (reference: src/core/message.js:89-92): key is
+    lowercased, an existing entry is replaced."""
+    key = key.lower()
+    value = value if isinstance(value, Column) else F.lit(value)
+    without = F.map_filter(F.col(col), lambda k, _v: k != key)
+    return df.withColumn(
+        col, F.map_concat(without, F.create_map(F.lit(key), value.cast("string")))
+    )
+
+
+def delete_header(df: DataFrame, key: str, col: str = "headers") -> DataFrame:
+    """deleteHeader analog (src/core/message.js deleteHeader)."""
+    key = key.lower()
+    return df.withColumn(col, F.map_filter(F.col(col), lambda k, _v: k != key))
+
+
+def inc_header(df: DataFrame, key: str, by: int = 1, col: str = "headers") -> DataFrame:
+    """incHeader/decHeader analog (src/core/message.js incHeader; the
+    queue-retries counter, src/queues/batch.js:232 re-increments on every
+    re-batch). The reference THROWS on a missing/non-numeric header; a
+    column expression can't throw per-row, so those rows keep a null value
+    — filter/dead-letter on ``headers[key] IS NULL`` for the same effect.
+    Use a negative ``by`` for decHeader."""
+    key = key.lower()
+    new_val = (F.element_at(F.col(col), key).cast("long") + F.lit(by)).cast("string")
+    without = F.map_filter(F.col(col), lambda k, _v: k != key)
+    return df.withColumn(col, F.map_concat(without, F.create_map(F.lit(key), new_val)))
+
+
 def header_override_rule() -> SinkRule:
     """First-priority rule: a message whose headers carry an explicit sink
     goes there, whatever the content says. Prepend to a rule list:

@@ -48,3 +48,27 @@ def test_header_sink_override_first_match(spark):
     assert got["u2"] == ("acked", "english")
     assert got["u3"] == ("ignored", None)  # fr matches nothing
     assert got["u4"] == ("rejected", "dead_letter")  # reject trumps override
+
+
+def test_header_mutation_api(spark):
+    """set/delete/inc header parity (reference: tests/core/message.js —
+    setHeader lowercases, incHeader counts, deleteHeader removes; the
+    queue-retries counter rides on this, src/queues/batch.js:232)."""
+    from shovel_spark.operators.route import delete_header, inc_header, set_header
+
+    df = promote_headers(_pages(spark)).select("url", "headers")
+    df = set_header(df, "Queue-Retries", "1")
+    df = inc_header(df, "queue-retries")          # 1 -> 2
+    df = inc_header(df, "queue-retries", by=2)    # 2 -> 4
+    df = inc_header(df, "queue-retries", by=-1)   # 4 -> 3 (decHeader)
+    df = set_header(df, "X-Trace", "t1")
+    df = delete_header(df, "x-trace")
+    rows = {r.url: r.headers for r in df.collect()}
+    assert all(h.get("queue-retries") == "3" for h in rows.values())
+    assert all("x-trace" not in h for h in rows.values())
+    # u1's original override header survives the mutations, still lowercased
+    assert rows["u1"]["x-shovel-sink"] == "audit"
+    # incrementing a missing header yields null (the dead-letterable analog
+    # of the reference's throw)
+    bad = inc_header(promote_headers(_pages(spark)), "nope").select("headers").first()
+    assert bad.headers.get("nope") is None
