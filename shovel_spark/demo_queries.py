@@ -1794,3 +1794,35 @@ def docs_dup_clusters(spark, sf_dir):
         family="md5",
     )
     return dup_clusters(pairs, iters=3).orderBy("canonical")
+
+
+@_register(
+    "docs_subword_tokens",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(text), '[\s!-/:-@\[-`{-~]+'),
+                             x -> x != ''))
+             + length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS subtok
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(subtok) AS BIGINT) AS total_subtokens,
+           round(avg(subtok), 2) AS avg_subtokens
+    FROM t GROUP BY 1
+    """,
+)
+def docs_subword_tokens(spark, sf_dir):
+    """BPE-ish token counting (textstats.word_token_count: words and
+    punctuation marks counted as separate tokens — a deterministic stand-in
+    for a real subword tokenizer's count). Oracle recomputes the same count
+    with explicit ASCII punctuation classes (Java \\p{Punct} == !-~ ASCII
+    ranges, spelled out so RE2 and Java agree)."""
+    from shovel_spark.functions.textstats import word_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("subtok", word_token_count(F.col("text"))).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("subtok").alias("total_subtokens"),
+        F.round(F.avg("subtok"), 2).alias("avg_subtokens"),
+    )
