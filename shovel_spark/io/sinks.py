@@ -71,6 +71,14 @@ def write_sinks(
             part = part.select(*keep)
         if payload_format == "json":
             part = part.withColumn("payload", F.to_json(F.struct(*[c for c in part.columns])))
+        elif payload_format == "msgpack":
+            from shovel_spark.functions.codecs import encode_msgpack
+
+            part = part.withColumn("payload", encode_msgpack(F.struct(*[c for c in part.columns])))
+        elif payload_format == "json5":
+            from shovel_spark.functions.codecs import encode_json5
+
+            part = part.withColumn("payload", encode_json5(F.struct(*[c for c in part.columns])))
         elif payload_format is not None:
             raise ValueError(f"unknown payload_format: {payload_format!r}")
         writer = part.write.mode(mode)

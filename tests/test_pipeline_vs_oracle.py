@@ -111,3 +111,20 @@ def test_sink_payload_encoding(spark, routed, tmp_path):
     decoded = json.loads(row.payload)
     assert decoded["url"] == row.url
     assert decoded["status"] == "acked"
+
+
+def test_sink_payload_encoding_msgpack(spark, routed, tmp_path):
+    """Encoder-at-sink, msgpack flavor (reference: src/encoders/msgpack.js):
+    the sink's payload bytes unpack back to the row's fields."""
+    from shovel_spark.functions.wire import msgpack_unpackb
+    from shovel_spark.io.sinks import write_sinks
+    from shovel_spark.pipeline import OUTPUT_COLS
+
+    paths = write_sinks(
+        routed, str(tmp_path / "encmp"), ["english"],
+        partition_cols=["bucket"], output_cols=OUTPUT_COLS, payload_format="msgpack",
+    )
+    row = spark.read.parquet(paths["english"]).first()
+    decoded = msgpack_unpackb(bytes(row.payload))
+    assert decoded["url"] == row.url
+    assert decoded["status"] == "acked"
