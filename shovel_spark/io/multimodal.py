@@ -90,20 +90,45 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(feats, IMAGE_FEATURES_SCHEMA)
 
 
+def _resize_stub(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic FAKE resize (no PIL in this sandbox): emits a payload of
+    exactly width*height bytes by tiling the input — stable, size-correct
+    output so downstream batch shape / partition sizing is testable. In
+    deployment replace with::
+
+        im = Image.open(io.BytesIO(data)).resize((width, height))
+        buf = io.BytesIO(); im.save(buf, 'PNG'); return buf.getvalue()
+    """
+    n = width * height
+    if not data:
+        return b"\0" * n
+    reps = n // len(data) + 1
+    return (bytes(data) * reps)[:n]
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: real pipeline shape, stubbed codec. With PIL present
-    the stub body is the only change."""
+    """Resize plumbing: real pipeline shape (iterator-of-batches mapInPandas,
+    binary in/binary out, metadata updated), fake codec (_resize_stub —
+    clearly marked; swapping in PIL is the only change)."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "install PIL and replace _decode_image_stub"
-            )
-            yield pdf  # pragma: no cover
+            out = {"media_id": [], "data": [], "width": [], "height": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                out["media_id"].append(mid)
+                out["data"].append(_resize_stub(raw, width, height))
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
 
     schema = T.StructType(
-        [T.StructField("media_id", T.LongType()), T.StructField("data", T.BinaryType())]
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
     )
     return df.select("media_id", "data").mapInPandas(do_resize, schema)
 

@@ -27,10 +27,16 @@ def test_binary_column_not_in_feature_output(spark):
     assert "data" not in cols  # media bytes never enter a shuffle
 
 
-def test_resize_stub_raises_cleanly(spark):
+def test_resize_plumbing_deterministic_fake(spark):
+    """Resize: real mapInPandas plumbing, fake codec — output payloads are
+    exactly width*height bytes, deterministic, metadata updated."""
     media = mm.synth_media(spark, n=3)
-    with pytest.raises(Exception, match="image codec not available"):
-        mm.resize_images(media, 224, 224).collect()
+    out = mm.resize_images(media, 32, 16).collect()
+    assert len(out) == 3
+    assert all(len(bytes(r.data)) == 32 * 16 for r in out)
+    assert all((r.width, r.height) == (32, 16) for r in out)
+    again = mm.resize_images(mm.synth_media(spark, n=3), 32, 16).collect()
+    assert sorted(bytes(r.data) for r in out) == sorted(bytes(r.data) for r in again)
 
 
 def test_video_frame_sampling_fanout(spark):
