@@ -173,7 +173,10 @@ def parse_duration(value: str | int | float) -> float:
     """
     if isinstance(value, (int, float)):
         return float(value)
-    text = value.strip()
+    # digit-grouping commas vanish BEFORE parsing ('1,000ms' == 1000ms),
+    # matching the npm package's /(\d),(\d)/ strip — without this, '1,000ms'
+    # would misparse as 1 bare-ms + 000ms = 1.0
+    text = re.sub(r"(\d),(\d)", r"\1\2", value).strip()
     if not text:
         raise ValueError("empty duration")
     total = 0.0

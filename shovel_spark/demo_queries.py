@@ -1139,11 +1139,16 @@ def emb_ivf_topk(spark, sf_dir):
         ivf_topk_indexed,
     )
 
+    import hashlib
+
     e = _t(spark, sf_dir, "embeddings")
     cents = centroids_from_labels(e)
-    idx_path = os.path.join(
-        "/tmp/shovel_spark_ivf", os.path.basename(os.path.normpath(sf_dir))
-    )
+    # path keyed by (session, full sf_dir): concurrent sessions or same-named
+    # sf dirs must not race on overwrite-vs-read of a shared index
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_ivf", tag)
     build_ivf_index(e.filter(F.col("vec_id") != 0), cents, idx_path)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     top = ivf_topk_indexed(spark, idx_path, cents, q, k=10, nprobe=3)

@@ -323,8 +323,15 @@ def decode_proto_or_json(
     """Per-row decoder pick by content-type — the reference's protobuf
     decoder accepts JSON-encoded payloads when the message's content-type
     says application/json (src/decoders/protobuf.js:96-105, test
-    tests/decoders/protobuf.js 'decode: json'). One when-chain: JSON rows
-    stay fully JVM-side (from_json), wire rows take the Arrow UDF."""
+    tests/decoders/protobuf.js 'decode: json').
+
+    Cost note: Spark hoists pandas UDFs out of CASE WHEN into an
+    unconditional ArrowEvalPython stage, so the wire decoder still RUNS on
+    every row (its result is discarded for JSON rows — correctness is safe
+    because decode failures yield nulls, never errors). For a hot path with
+    a large JSON fraction, split the frame on the content-type predicate,
+    decode each half with its own decoder, and union — this helper is the
+    convenience form for mixed low-volume streams."""
     wire_decoder = make_proto_decoder(spec, schema)
     is_json = F.lower(F.trim(F.regexp_extract(content_type, r"^([^;]+)", 1))) == "application/json"
     return F.when(is_json, F.from_json(payload.cast("string"), _as_struct_type(schema))).otherwise(

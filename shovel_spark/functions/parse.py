@@ -67,7 +67,9 @@ def parse_html_regex(html: Column) -> Column:
     text = F.when(ok, F.regexp_extract(s, _BODY_RE, 1))
     title_ok = s.rlike(_TITLE_RE)
     title = F.when(title_ok, F.regexp_extract(s, _TITLE_RE, 1))
-    error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))
+    error = F.when(
+        s.isNull(), F.lit("parse_error: null html")  # same message as pandas impl
+    ).when(~ok, F.lit("parse_error: missing <p>...</p> body"))
     return F.struct(
         text.alias("text"), title.alias("title"), ok.alias("ok"), error.alias("error")
     )
@@ -106,7 +108,9 @@ def parse_html_native(html: Column) -> Column:
     ok, text = _span(s, "<p>", "</p>")
     ok = F.coalesce(ok, F.lit(False))  # null html → ok=false, not null
     _t_ok, title = _span(s, "<title>", "</title>")
-    error = F.when(~ok, F.lit("parse_error: missing <p>...</p> body"))
+    error = F.when(
+        s.isNull(), F.lit("parse_error: null html")  # same message as pandas impl
+    ).when(~ok, F.lit("parse_error: missing <p>...</p> body"))
     return F.struct(
         text.alias("text"), title.alias("title"), ok.alias("ok"), error.alias("error")
     )

@@ -249,14 +249,12 @@ def proto_decode(data: bytes, spec: ProtoSpec) -> dict:
                             raw = bool(raw)
                         vals.append(raw)
                     elif _SCALARS[typ] == 1:
-                        vals.append(
-                            _struct.unpack_from("<d" if typ == "double" else "<Q", chunk, p)[0]
-                        )
+                        fmt = "<d" if typ == "double" else ("<q" if typ == "sfixed64" else "<Q")
+                        vals.append(_struct.unpack_from(fmt, chunk, p)[0])
                         p += 8
                     else:
-                        vals.append(
-                            _struct.unpack_from("<f" if typ == "float" else "<I", chunk, p)[0]
-                        )
+                        fmt = "<f" if typ == "float" else ("<i" if typ == "sfixed32" else "<I")
+                        vals.append(_struct.unpack_from(fmt, chunk, p)[0])
                         p += 4
                 if rep:
                     result[name].extend(vals)
@@ -630,7 +628,7 @@ class _J5Parser:
         s, n = self.s, len(self.s)
         while self.i < n:
             c = s[self.i]
-            if c in " \t\n\r\v\f ﻿":
+            if c in " \t\n\r\v\f ﻿  ":
                 self.i += 1
             elif c == "/" and self.i + 1 < n and s[self.i + 1] == "/":
                 j = s.find("\n", self.i)

@@ -240,6 +240,12 @@ def simhash(text: Column, bits: int = 64, family: str = "xxhash64") -> Column:
     family='md5' uses a 60-bit md5-derived token hash (conv of the first 15
     hex chars) that DuckDB reproduces exactly (('0x'||substr(md5(t),1,15))
     ::BIGINT) — requires bits <= 60.
+
+    PERF: as a single Column expression this inlines the token-hash array
+    into every per-bit aggregate (no CSE inside lambdas → tokens re-hashed
+    once per bit, ~3× slower). In a hot path, project token_hashes() into
+    its own column first and apply simhash_from_hashes() to it — exactly
+    what simhash_near_dup_pairs does.
     """
     if family == "md5" and bits > 60:
         raise ValueError("md5 family exposes 60 hash bits; use bits <= 60")

@@ -64,14 +64,19 @@ def promote_headers(df: DataFrame, col: str = "headers") -> DataFrame:
         codegen'd column chain — map lookups in a hot predicate would
         still work, but flat columns prune/pushdown better.
     """
-    lowered = F.map_from_entries(
-        F.transform(
-            F.map_entries(F.col(col)),
-            lambda e: F.struct(F.lower(e["key"]).alias("key"), e["value"].alias("value")),
-        )
-    )
+    # fold instead of map_from_entries: two keys differing only by case
+    # ('Key'/'key') must resolve LAST-WINS like JS object assignment, not
+    # crash the task (map_from_entries raises DUPLICATE_MAP_KEY)
     empty = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    lowered = F.aggregate(
+        F.map_entries(F.col(col)),
+        empty,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != F.lower(e["key"])),
+            F.create_map(F.lower(e["key"]), e["value"]),
+        ),
     )
     normalized = F.coalesce(lowered, empty)
     return (
@@ -91,16 +96,26 @@ def set_header(df: DataFrame, key: str, value: Column | str, col: str = "headers
     lowercased, an existing entry is replaced."""
     key = key.lower()
     value = value if isinstance(value, Column) else F.lit(value)
-    without = F.map_filter(F.col(col), lambda k, _v: k != key)
+    without = F.map_filter(_headers_or_empty(col), lambda k, _v: k != key)
     return df.withColumn(
         col, F.map_concat(without, F.create_map(F.lit(key), value.cast("string")))
     )
 
 
+def _headers_or_empty(col: str) -> Column:
+    """NULL header map → empty map: mutations must succeed on rows that never
+    passed through promote_headers (the reference's message.headers always
+    exists, src/core/message.js:56)."""
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.coalesce(F.col(col), empty)
+
+
 def delete_header(df: DataFrame, key: str, col: str = "headers") -> DataFrame:
     """deleteHeader analog (src/core/message.js deleteHeader)."""
     key = key.lower()
-    return df.withColumn(col, F.map_filter(F.col(col), lambda k, _v: k != key))
+    return df.withColumn(col, F.map_filter(_headers_or_empty(col), lambda k, _v: k != key))
 
 
 def inc_header(df: DataFrame, key: str, by: int = 1, col: str = "headers") -> DataFrame:
@@ -111,8 +126,9 @@ def inc_header(df: DataFrame, key: str, by: int = 1, col: str = "headers") -> Da
     — filter/dead-letter on ``headers[key] IS NULL`` for the same effect.
     Use a negative ``by`` for decHeader."""
     key = key.lower()
-    new_val = (F.element_at(F.col(col), key).cast("long") + F.lit(by)).cast("string")
-    without = F.map_filter(F.col(col), lambda k, _v: k != key)
+    hdrs = _headers_or_empty(col)
+    new_val = (F.element_at(hdrs, key).cast("long") + F.lit(by)).cast("string")
+    without = F.map_filter(hdrs, lambda k, _v: k != key)
     return df.withColumn(col, F.map_concat(without, F.create_map(F.lit(key), new_val)))
 
 

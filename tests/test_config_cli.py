@@ -152,3 +152,10 @@ def test_parse_duration_reference_semantics():
     for bad in ("", "abc", "3 parsecs", "1h xx"):
         with pytest.raises(ValueError):
             parse_duration(bad)
+
+
+def test_parse_duration_digit_grouping():
+    from shovel_spark.config import parse_duration
+
+    assert parse_duration("1,000ms") == 1000.0
+    assert parse_duration("1,000,000 ms") == 1_000_000.0

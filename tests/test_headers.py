@@ -72,3 +72,23 @@ def test_header_mutation_api(spark):
     # of the reference's throw)
     bad = inc_header(promote_headers(_pages(spark)), "nope").select("headers").first()
     assert bad.headers.get("nope") is None
+
+
+def test_promote_headers_case_colliding_keys_last_wins(spark):
+    """Two keys differing only by case must resolve last-wins (JS object
+    assignment), never crash with DUPLICATE_MAP_KEY."""
+    df = spark.createDataFrame(
+        [("u", {"X-K": "first", "x-k": "second"})], "url string, headers map<string,string>"
+    )
+    h = promote_headers(df).select("headers").first().headers
+    assert list(h) == ["x-k"] and h["x-k"] in ("first", "second")
+
+
+def test_set_header_on_null_map_creates_entry(spark):
+    from shovel_spark.operators.route import inc_header, set_header
+
+    df = spark.createDataFrame([("u", None)], "url string, headers map<string,string>")
+    out = set_header(df, "K", "v").select("headers").first().headers
+    assert out == {"k": "v"}
+    out2 = inc_header(set_header(df, "n", "1"), "n").select("headers").first().headers
+    assert out2["n"] == "2"

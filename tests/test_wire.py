@@ -209,3 +209,22 @@ json5_value = st.recursive(
 @given(json5_value, st.sampled_from([0, 3]))
 def test_json5_roundtrip_property(v, indent):
     assert wire.json5_loads(wire.json5_dumps(v, indent=indent)) == v
+
+
+def test_proto_packed_sfixed_negative():
+    """Packed repeated sfixed values must decode SIGNED (regression: the
+    packed branch used unsigned formats)."""
+    import struct
+
+    spec32 = wire.ProtoSpec([(1, "xs", "sfixed32", True)])
+    packed32 = b"\x0a\x08" + struct.pack("<i", -1) + struct.pack("<i", 7)
+    assert wire.proto_decode(packed32, spec32) == {"xs": [-1, 7]}
+    spec64 = wire.ProtoSpec([(1, "xs", "sfixed64", True)])
+    packed64 = b"\x0a\x10" + struct.pack("<q", -5) + struct.pack("<q", 9)
+    assert wire.proto_decode(packed64, spec64) == {"xs": [-5, 9]}
+
+
+def test_json5_line_separator_whitespace():
+    """U+2028/U+2029 are JSON5 whitespace (LineTerminators) — must not
+    dead-letter spec-valid documents."""
+    assert wire.json5_loads("{ 'test': 'ok' }") == {"test": "ok"}
