@@ -395,6 +395,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # edges join into EVERY iteration: without this checkpoint the whole
+        # upstream pair-generation chain (LSH join + verify) re-executes once
+        # per round — at scale that's iters× the candidate-generation cost
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
