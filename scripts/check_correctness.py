@@ -82,6 +82,25 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        else:
+            # dtype-CLASS parity (round-1 lesson: the driver's value hash is
+            # pandas-dtype-class sensitive — DuckDB HUGEINT lands as an
+            # 'object' column and hash-mismatches even when values agree;
+            # numeric width differences like int32 vs int64 are fine)
+            try:
+                s_pd = sdf.limit(0).toPandas()
+                d_pd = ddf.df().head(0)
+
+                def _kind(dt):
+                    k = dt.kind
+                    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, k)
+
+                for c in s_cols:
+                    sk, dk = _kind(s_pd[c].dtype), _kind(d_pd[c].dtype)
+                    if sk != dk:
+                        problems.append(f"dtype-class {c}: spark={s_pd[c].dtype} duckdb={d_pd[c].dtype}")
+            except Exception:  # noqa: BLE001 — advisory check only
+                pass
         if not problems:
             hs, hd = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
             if hs != hd:
