@@ -100,3 +100,52 @@ def write_sinks(
         if not caller_persisted:
             routed.unpersist()
     return paths
+
+
+def write_sinks_broadcast(
+    routed: DataFrame,
+    out_dir: str,
+    sinks: list[str],
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    output_cols: list[str] | None = None,
+    sinks_col: str = "sinks",
+) -> dict[str, str]:
+    """Broadcast-mode fan-out writer: the row's ``sinks: array<string>``
+    (apply_routes_broadcast) names EVERY sink that receives it — a row
+    matching k sinks is written k times, once per sink directory.
+
+    Same persist-once contract as write_sinks: one cached frame, each sink
+    is a filtered pass (``array_contains``), never k scans of the source.
+    """
+    caller_persisted = routed.storageLevel != StorageLevel.NONE
+    if partition_cols and not caller_persisted:
+        routed = routed.repartition(*partition_cols)
+    if not caller_persisted:
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    paths: dict[str, str] = {}
+
+    def _write_one(name: str) -> tuple[str, str]:
+        path = os.path.join(out_dir, f"sink_{name}")
+        part = routed.filter(F.array_contains(F.col(sinks_col), name))
+        keep = list(output_cols) if output_cols else [c for c in part.columns if c != sinks_col]
+        for c in partition_cols or []:
+            if c not in keep:
+                keep.append(c)
+        part = part.select(*[c for c in keep if c != sinks_col])
+        writer = part.write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return name, path
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(sinks))) as pool:
+            for name, path in pool.map(_write_one, sinks):
+                paths[name] = path
+    finally:
+        if not caller_persisted:
+            routed.unpersist()
+    return paths

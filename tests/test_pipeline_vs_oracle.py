@@ -128,3 +128,39 @@ def test_sink_payload_encoding_msgpack(spark, routed, tmp_path):
     decoded = msgpack_unpackb(bytes(row.payload))
     assert decoded["url"] == row.url
     assert decoded["status"] == "acked"
+
+
+def test_jsonl_file_input_through_decoder_slot(spark, tmp_path):
+    """File input + decoder slot end-to-end (reference: file input feeding
+    the json decoder): JSON-lines on disk → spark.read.text → decode_json →
+    the SAME build_routed chain, counts matching a direct-parquet run."""
+    import base64
+
+    from shovel_spark.functions.codecs import decode_json
+    from shovel_spark.pipeline import JobConfig, build_routed
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    pages = synth_pages(spark, 500, seed=7)
+    jsonl = pages.select(
+        F.to_json(
+            F.struct("url", "warc_ts", F.base64("html").alias("html_b64"), "text", "lang")
+        ).alias("value")
+    )
+    path = str(tmp_path / "pages.jsonl")
+    jsonl.coalesce(1).write.mode("overwrite").text(path)
+
+    schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
+    decoded = (
+        spark.read.text(path)
+        .withColumn("r", decode_json(F.col("value"), schema))
+        .select("r.*")
+        .withColumn("html", F.unbase64("html_b64"))
+        .drop("html_b64")
+    )
+    cfg = JobConfig(n_buckets=8)
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    via_file = build_routed(decoded, lm, dr, cfg).groupBy("status").count().collect()
+    direct = build_routed(pages, lm, dr, cfg).groupBy("status").count().collect()
+    assert {(r.status, r["count"]) for r in via_file} == {
+        (r.status, r["count"]) for r in direct
+    }

@@ -56,3 +56,18 @@ def test_broadcast_rejected_only_dead_letter(enriched):
     bc = apply_routes_broadcast(enriched, default_sink_rules())
     rej = bc.filter(F.col("status") == "rejected").select("sinks").distinct().collect()
     assert [list(r.sinks) for r in rej] == [["dead_letter"]]
+
+
+def test_write_sinks_broadcast_row_in_every_matching_dir(spark, tmp_path):
+    """Broadcast-mode writer: a row matching k sink predicates lands in all
+    k sink directories (reference: src/outputs/pipeline.js mode=broadcast)."""
+    from shovel_spark.io.sinks import write_sinks_broadcast
+
+    df = spark.createDataFrame(
+        [("u1", ["a", "b"]), ("u2", ["b"]), ("u3", [])],
+        "url string, sinks array<string>",
+    )
+    paths = write_sinks_broadcast(df, str(tmp_path / "bc"), ["a", "b"], output_cols=["url"])
+    a = {r.url for r in spark.read.parquet(paths["a"]).collect()}
+    b = {r.url for r in spark.read.parquet(paths["b"]).collect()}
+    assert a == {"u1"} and b == {"u1", "u2"}
