@@ -376,7 +376,8 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    iters: int = 5,
+    iters: int | None = 5,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(node, component) labels over a near-dup pair list — min-label
     propagation (the distributed union-find for dedup clustering: pairs say
@@ -387,9 +388,12 @@ def connected_components(
     neighbors' labels — one equi-join + groupBy per iteration, converges in
     O(component diameter) rounds (near-dup clusters are shallow: a handful
     of rounds covers chains far longer than real boilerplate families).
-    ``iters`` is FIXED, not a convergence loop, so the trajectory is
-    deterministic and an external oracle can replay it; localCheckpoint
-    truncates the per-iteration lineage (no exponential plan growth).
+    A FIXED ``iters`` keeps the trajectory deterministic so an external
+    oracle can replay it; ``iters=None`` runs to convergence instead (one
+    changed-label count per round, capped at ``max_iters`` — for
+    adversarially long chains whose diameter isn't known up front).
+    localCheckpoint truncates the per-iteration lineage (no exponential
+    plan growth).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -405,20 +409,31 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(iters):
+    rounds = iters if iters is not None else max_iters
+    for _ in range(rounds):
         nb_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nb"))
         )
-        labels = (
+        new_labels = (
             labels.join(nb_min, labels.id == nb_min.src, "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nb"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
+        if iters is None:
+            # convergence mode: one small count per round (labels only —
+            # never data-sized rows), stop when a round changes nothing
+            changed = new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
+            labels = new_labels.drop("__old")
+            if changed == 0:
+                break
+        else:
+            labels = new_labels.drop("__old")
     return labels.withColumnRenamed("label", "component")
 
 

@@ -220,3 +220,12 @@ def test_connected_components_chain_and_clusters(spark):
         r.canonical: r.cluster_size for r in dedup.dup_clusters(pairs, iters=4).collect()
     }
     assert clusters == {0: 4, 10: 2}
+
+
+def test_connected_components_convergence_mode(spark):
+    """iters=None runs to convergence: a 9-node chain (diameter 8) fully
+    collapses even though the default fixed iters (5) would not reach it."""
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    cc = {r.id: r.component for r in dedup.connected_components(pairs, iters=None).collect()}
+    assert cc == {i: 0 for i in range(9)}
