@@ -339,6 +339,34 @@ def decode_proto_or_json(
     )
 
 
+def decode_proto_or_json_df(
+    df,
+    payload_col: str,
+    content_type_col: str,
+    spec,
+    schema,
+    out_col: str = "record",
+):
+    """DataFrame form of the mixed-content decode, for hot paths: SPLIT the
+    frame on the content-type predicate, decode each half with only its own
+    decoder, and union — JSON rows never enter the Arrow/Python stage (the
+    Column form above cannot avoid it: Spark hoists pandas UDFs out of
+    CASE WHEN and runs them unconditionally)."""
+    is_json = (
+        F.lower(F.trim(F.regexp_extract(F.col(content_type_col), r"^([^;]+)", 1)))
+        == "application/json"
+    )
+    struct_type = _as_struct_type(schema)
+    wire_decoder = make_proto_decoder(spec, struct_type)
+    json_half = df.filter(is_json).withColumn(
+        out_col, F.from_json(F.col(payload_col).cast("string"), struct_type)
+    )
+    wire_half = df.filter(~is_json).withColumn(
+        out_col, wire_decoder(F.col(payload_col).cast("binary"))
+    )
+    return json_half.unionByName(wire_half)
+
+
 def decode_protobuf_jvm(col: Column, message_name: str, desc_file_path: str) -> Column:
     """JVM-side protobuf decode via spark-protobuf, the preferred path on a
     real cluster where the spark-protobuf package is on the classpath (it

@@ -253,3 +253,24 @@ def test_protobuf_json_content_type_mode(spark):
         codecs.decode_proto_or_json(F.col("v"), F.col("ct"), spec, "test string").alias("o")
     ).collect()
     assert sorted(r.o.test for r in out) == ["json", "wire"]
+
+
+def test_protobuf_json_content_type_split_df(spark):
+    """DataFrame split-union form: same result as the Column form, and the
+    JSON half's plan contains no ArrowEvalPython stage."""
+    from shovel_spark.functions.wire import ProtoSpec, proto_encode
+
+    spec = ProtoSpec([(1, "test", "string")])
+    rows = [
+        (bytearray(proto_encode({"test": "wire"}, spec)), "application/octet-stream"),
+        (bytearray(b'{"test":"json"}'), "application/json"),
+    ]
+    df = spark.createDataFrame(rows, "v binary, ct string")
+    out = codecs.decode_proto_or_json_df(df, "v", "ct", spec, "test string")
+    assert sorted(r.record.test for r in out.collect()) == ["json", "wire"]
+    json_half_plan = (
+        df.filter(F.col("ct") == "application/json")
+        .withColumn("record", F.from_json(F.col("v").cast("string"), "test string"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in json_half_plan
