@@ -92,3 +92,17 @@ def test_set_header_on_null_map_creates_entry(spark):
     assert out == {"k": "v"}
     out2 = inc_header(set_header(df, "n", "1"), "n").select("headers").first().headers
     assert out2["n"] == "2"
+
+
+def test_header_override_in_broadcast_mode(spark):
+    """Broadcast dispatch honors the per-message header sink alongside the
+    predicate sinks (a row can land in BOTH its override and a lang sink)."""
+    from shovel_spark.operators.route import apply_routes_broadcast
+
+    rules = [header_override_rule(), SinkRule("english", F.col("lang_norm") == "en")]
+    out = apply_routes_broadcast(promote_headers(_pages(spark)), rules).collect()
+    got = {r.url: (r.status, sorted(r.sinks)) for r in out}
+    assert got["u1"] == ("acked", ["audit", "english"])
+    assert got["u2"] == ("acked", ["english"])
+    assert got["u3"] == ("ignored", [])
+    assert got["u4"] == ("rejected", ["dead_letter"])
