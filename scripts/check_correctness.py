@@ -89,7 +89,7 @@ def main() -> int:
             # numeric width differences like int32 vs int64 are fine)
             try:
                 s_pd = sdf.limit(0).toPandas()
-                d_pd = ddf.df().head(0)
+                d_pd = ddf.limit(0).df()  # limit BEFORE df(): no full re-run of the oracle
 
                 def _kind(dt):
                     k = dt.kind

@@ -1151,8 +1151,16 @@ def emb_ivf_topk(spark, sf_dir):
     idx_path = os.path.join("/tmp/shovel_spark_ivf", tag)
     build_ivf_index(e.filter(F.col("vec_id") != 0), cents, idx_path)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    top = ivf_topk_indexed(spark, idx_path, cents, q, k=10, nprobe=3)
-    return top.select("vec_id", F.round("sim", 4).alias("sim"))
+    top = ivf_topk_indexed(spark, idx_path, cents, q, k=10, nprobe=3).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+    # materialize the k rows, then remove the scratch index — per-session
+    # tags would otherwise accumulate in /tmp forever
+    rows = top.collect()
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return spark.createDataFrame(rows, top.schema)
 
 
 @_register(
@@ -1806,7 +1814,7 @@ def docs_dup_clusters(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT lang,
-             len(list_filter(regexp_split_to_array(trim(text), '[\s!-/:-@\[-`{-~]+'),
+             len(list_filter(regexp_split_to_array(trim(text), '[\s\x0B!-/:-@\[-`{-~]+'),
                              x -> x != ''))
              + length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS subtok
       FROM documents

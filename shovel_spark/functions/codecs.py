@@ -352,9 +352,13 @@ def decode_proto_or_json_df(
     decoder, and union — JSON rows never enter the Arrow/Python stage (the
     Column form above cannot avoid it: Spark hoists pandas UDFs out of
     CASE WHEN and runs them unconditionally)."""
-    is_json = (
+    # NULL content-type must take the wire path (the reference's default is
+    # application/octet-stream), not vanish: a raw NULL predicate would drop
+    # the row from BOTH filter halves
+    is_json = F.coalesce(
         F.lower(F.trim(F.regexp_extract(F.col(content_type_col), r"^([^;]+)", 1)))
-        == "application/json"
+        == "application/json",
+        F.lit(False),
     )
     struct_type = _as_struct_type(schema)
     wire_decoder = make_proto_decoder(spec, struct_type)

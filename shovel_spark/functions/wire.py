@@ -31,6 +31,7 @@ import json
 import math
 import re
 import struct as _struct
+import unicodedata
 
 # ---------------------------------------------------------------------------
 # varint / zigzag (public protobuf encoding spec)
@@ -628,7 +629,7 @@ class _J5Parser:
         s, n = self.s, len(self.s)
         while self.i < n:
             c = s[self.i]
-            if c in " \t\n\r\v\f ﻿  ":
+            if c in " \t\n\r\v\f ﻿  " or unicodedata.category(c) == "Zs":
                 self.i += 1
             elif c == "/" and self.i + 1 < n and s[self.i + 1] == "/":
                 j = s.find("\n", self.i)

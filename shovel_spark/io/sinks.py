@@ -19,36 +19,32 @@ jar — the write path is identical apart from ``writeTo``).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def write_sinks(
+def _fanout_write(
     routed: DataFrame,
     out_dir: str,
     sinks: list[str],
-    partition_cols: list[str] | None = None,
-    mode: str = "overwrite",
-    output_cols: list[str] | None = None,
-    fmt: str = "parquet",
-    payload_format: str | None = None,
+    sink_filter: Callable[[str], Column],
+    partition_cols: list[str] | None,
+    mode: str,
+    output_cols: list[str] | None,
+    fmt: str,
+    payload_format: str | None,
+    drop_cols: tuple[str, ...] = (),
 ) -> dict[str, str]:
-    """Write each sink's rows to ``{out_dir}/sink_{name}``; returns paths.
-
-    ``partition_cols`` (e.g. ``['bucket']`` or ``['dt']``) makes the write
-    dynamic-partition-overwrite-able — the resume path re-writes only the
-    partitions it re-processes.
-
-    ``payload_format='json'`` adds a serialized ``payload`` column — the
-    encoder-slot-at-the-sink analog (reference: src/encoders/json.js:13-35;
-    shovel encodes content right before the output delivers it). Typed sinks
-    (parquet/iceberg) don't need it; text-protocol sinks do.
-    """
-    # respect a caller-managed cache: persisting is idempotent but an
-    # unconditional unpersist here would evict the caller's copy too
+    """Shared persist-once machinery behind both dispatch modes: cache the
+    routed frame, run one filtered write job per sink concurrently (disjoint
+    paths — Spark's scheduler interleaves jobs from separate threads)."""
+    if not sinks:
+        return {}
     caller_persisted = routed.storageLevel != StorageLevel.NONE
     if partition_cols and not caller_persisted:
         # align data partitions with the write's directory partitions BEFORE
@@ -62,13 +58,14 @@ def write_sinks(
 
     def _write_one(name: str) -> tuple[str, str]:
         path = os.path.join(out_dir, f"sink_{name}")
-        part = routed.filter(F.col("sink") == name)
-        if output_cols:
-            keep = list(output_cols)
-            for c in partition_cols or []:
-                if c not in keep:
-                    keep.append(c)
-            part = part.select(*keep)
+        part = routed.filter(sink_filter(name))
+        keep = list(output_cols) if output_cols else [
+            c for c in part.columns if c not in drop_cols
+        ]
+        for c in partition_cols or []:
+            if c not in keep:
+                keep.append(c)
+        part = part.select(*[c for c in keep if c not in drop_cols])
         if payload_format == "json":
             part = part.withColumn("payload", F.to_json(F.struct(*[c for c in part.columns])))
         elif payload_format == "msgpack":
@@ -88,9 +85,6 @@ def write_sinks(
         return name, path
 
     try:
-        # sinks write to DISJOINT paths — run the write jobs concurrently so
-        # one sink's I/O tail overlaps the next sink's compute (Spark's
-        # scheduler interleaves jobs submitted from separate threads)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(4, len(sinks))) as pool:
@@ -100,6 +94,40 @@ def write_sinks(
         if not caller_persisted:
             routed.unpersist()
     return paths
+
+
+def write_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    sinks: list[str],
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    output_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    payload_format: str | None = None,
+) -> dict[str, str]:
+    """Write each sink's rows to ``{out_dir}/sink_{name}``; returns paths.
+
+    Fanout mode: each row carries exactly one ``sink`` (apply_routes'
+    first-match dispatch) and is written once.
+
+    ``partition_cols`` (e.g. ``['bucket']`` or ``['dt']``) makes the write
+    dynamic-partition-overwrite-able — the resume path re-writes only the
+    partitions it re-processes.
+
+    ``payload_format='json'|'msgpack'|'json5'`` adds a serialized
+    ``payload`` column — the encoder-slot-at-the-sink analog (reference:
+    src/encoders/*.js; shovel encodes content right before the output
+    delivers it). Typed sinks (parquet/iceberg) don't need it;
+    wire-protocol sinks do.
+
+    A caller-managed cache is respected: persisting is idempotent but an
+    unconditional unpersist here would evict the caller's copy too.
+    """
+    return _fanout_write(
+        routed, out_dir, sinks, lambda name: F.col("sink") == name,
+        partition_cols, mode, output_cols, fmt, payload_format,
+    )
 
 
 def write_sinks_broadcast(
@@ -109,43 +137,17 @@ def write_sinks_broadcast(
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
     output_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    payload_format: str | None = None,
     sinks_col: str = "sinks",
 ) -> dict[str, str]:
     """Broadcast-mode fan-out writer: the row's ``sinks: array<string>``
     (apply_routes_broadcast) names EVERY sink that receives it — a row
-    matching k sinks is written k times, once per sink directory.
-
-    Same persist-once contract as write_sinks: one cached frame, each sink
-    is a filtered pass (``array_contains``), never k scans of the source.
-    """
-    caller_persisted = routed.storageLevel != StorageLevel.NONE
-    if partition_cols and not caller_persisted:
-        routed = routed.repartition(*partition_cols)
-    if not caller_persisted:
-        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
-    paths: dict[str, str] = {}
-
-    def _write_one(name: str) -> tuple[str, str]:
-        path = os.path.join(out_dir, f"sink_{name}")
-        part = routed.filter(F.array_contains(F.col(sinks_col), name))
-        keep = list(output_cols) if output_cols else [c for c in part.columns if c != sinks_col]
-        for c in partition_cols or []:
-            if c not in keep:
-                keep.append(c)
-        part = part.select(*[c for c in keep if c != sinks_col])
-        writer = part.write.mode(mode)
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        writer.parquet(path)
-        return name, path
-
-    try:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(4, len(sinks))) as pool:
-            for name, path in pool.map(_write_one, sinks):
-                paths[name] = path
-    finally:
-        if not caller_persisted:
-            routed.unpersist()
-    return paths
+    matching k sinks is written k times, once per sink directory. Same
+    persist-once contract, format and encoder options as write_sinks."""
+    return _fanout_write(
+        routed, out_dir, sinks,
+        lambda name: F.array_contains(F.col(sinks_col), name),
+        partition_cols, mode, output_cols, fmt, payload_format,
+        drop_cols=(sinks_col,),
+    )

@@ -127,7 +127,10 @@ def inc_header(df: DataFrame, key: str, by: int = 1, col: str = "headers") -> Da
     Use a negative ``by`` for decHeader."""
     key = key.lower()
     hdrs = _headers_or_empty(col)
-    new_val = (F.element_at(hdrs, key).cast("long") + F.lit(by)).cast("string")
+    # try_cast, not cast: under ANSI mode (on in this engine's sessions) a
+    # plain cast on a non-numeric header value would kill the job instead of
+    # yielding the documented dead-letterable null
+    new_val = (F.element_at(hdrs, key).try_cast("long") + F.lit(by)).cast("string")
     without = F.map_filter(hdrs, lambda k, _v: k != key)
     return df.withColumn(col, F.map_concat(without, F.create_map(F.lit(key), new_val)))
 

@@ -268,9 +268,20 @@ def test_protobuf_json_content_type_split_df(spark):
     df = spark.createDataFrame(rows, "v binary, ct string")
     out = codecs.decode_proto_or_json_df(df, "v", "ct", spec, "test string")
     assert sorted(r.record.test for r in out.collect()) == ["json", "wire"]
-    json_half_plan = (
-        df.filter(F.col("ct") == "application/json")
-        .withColumn("record", F.from_json(F.col("v").cast("string"), "test string"))
-        ._jdf.queryExecution().executedPlan().toString()
+    # the helper's OWN plan: exactly one Python stage (the wire half) — the
+    # JSON half must contribute none
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_decode_proto_or_json_df_null_content_type_not_dropped(spark):
+    """NULL content-type rows take the wire path (octet-stream default) —
+    a raw NULL predicate would silently drop them from both halves."""
+    from shovel_spark.functions.wire import ProtoSpec, proto_encode
+
+    spec = ProtoSpec([(1, "test", "string")])
+    df = spark.createDataFrame(
+        [(bytearray(proto_encode({"test": "nullct"}, spec)), None)], "v binary, ct string"
     )
-    assert "ArrowEvalPython" not in json_half_plan
+    out = codecs.decode_proto_or_json_df(df, "v", "ct", spec, "test string").collect()
+    assert len(out) == 1 and out[0].record.test == "nullct"
