@@ -71,3 +71,22 @@ def test_partial_aggregation_before_shuffle(routed_plan):
     ex = routed_plan.index("Exchange")
     assert "HashAggregate" in routed_plan[ex:]
     assert "HashAggregate" in routed_plan[:ex]
+
+
+def test_no_cartesian_product_in_any_contract_query(spark):
+    """Global plan-quality gate: no contract query may plan a
+    CartesianProduct (the O(n*m) shuffle-everything join). The only
+    BroadcastNestedLoopJoins allowed are the three intentional broadcast
+    crossJoins against config-sized sides (a 4-row band table, a 1-row
+    query vector, k centroids) — the correct plan for those shapes."""
+    import __spark_entry__ as e
+
+    bnlj_ok = {"docs_minhash_bands", "emb_cosine_topk", "emb_kmeans_cells"}
+    offenders = {}
+    for name, fn in e.queries().items():
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
