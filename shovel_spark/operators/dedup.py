@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from shovel_spark.functions.textstats import fingerprint, tokens
 
@@ -63,10 +62,19 @@ def shingle_table(
     )
     sh = base.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     if max_doc_freq is not None:
-        w = Window.partitionBy("shingle")
-        sh = sh.withColumn("__df", F.count("*").over(w)).filter(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
+        # groupBy + semi-join, NOT a window: the window form shuffles every
+        # (id, shingle) row uncombined and SORTS it per shingle — a hot
+        # boilerplate shingle becomes one giant spilling window partition
+        # (the exact skew this cap exists to defuse). groupBy pre-aggregates
+        # map-side (the count shuffle carries partial counts, not rows) and
+        # the semi-join gets AQE skew handling.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     return sh
 
 
