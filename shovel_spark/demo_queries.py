@@ -1839,3 +1839,44 @@ def docs_subword_tokens(spark, sf_dir):
         F.sum("subtok").alias("total_subtokens"),
         F.round(F.avg("subtok"), 2).alias("avg_subtokens"),
     )
+
+
+@_register(
+    "events_zorder_stats",
+    """
+    WITH z AS (
+      SELECT CAST(list_sum(list_transform(range(0, 16),
+               i -> (((user_id % 65536) >> i) & 1) * (1::BIGINT << CAST(2*i AS INT))
+                  + (((CAST(floor(value) AS BIGINT) % 65536) >> i) & 1)
+                    * (1::BIGINT << CAST(2*i + 1 AS INT)))) AS BIGINT) AS zkey,
+             user_id, value
+      FROM events
+    )
+    SELECT zkey >> 14 AS zbucket, count(*) AS n,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           round(sum(value), 2) AS total_value
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value): coarse zkey
+    buckets carry narrow per-bucket user ranges — the property that makes
+    min/max stats prune scans on either dimension. The oracle recomputes
+    the interleave with the same shift arithmetic."""
+    from shovel_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    z = ev.withColumn(
+        "zkey",
+        zorder_key(F.pmod(F.col("user_id"), F.lit(65536)), F.pmod(F.floor("value").cast("long"), F.lit(65536))),
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 14).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("zbucket")
+    )

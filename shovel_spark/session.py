@@ -22,6 +22,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Broadcast small dims aggressively (lang map / domain rules are tiny).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime row-group pruning on the big side of shuffle joins (the
+    # candidate-verify joins in dedup): build a bloom filter from the small
+    # side at runtime, push it into the scan of the large side.
+    # (runtimeFilter.semiJoinReduction hangs Spark 4.1.2 session startup in
+    # this environment — verified by bisection; bloom filters alone are the
+    # win, the semi-join-reduction rewrite is off)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Dynamic partition overwrite: the resume path rewrites only the buckets
     # it re-processes (no double-routing on re-run).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
