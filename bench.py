@@ -63,6 +63,78 @@ def _run_pipeline(spark, pages_path: str) -> float:
     return time.time() - t0
 
 
+def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
+    """Build each ANN index once, then time probes against the standing
+    index: IVF (cell-partition-pruned) and hyperplane LSH (signature-
+    partition-pruned). Probe time is the mean of 5 distinct query vectors."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shovel_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        centroids_from_labels,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = [
+        [float(x) for x in r.embedding]
+        for r in e.orderBy("vec_id").limit(5).collect()
+    ]
+    out: dict[str, float] = {}
+
+    ivf_path, lsh_path = "/tmp/shovel_bench_ivf_idx", "/tmp/shovel_bench_lsh_idx"
+    cents = centroids_from_labels(e)
+    t0 = time.time()
+    build_ivf_index(e, cents, ivf_path)
+    out["emb_ivf_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in qvecs:
+        ivf_topk_indexed(spark, ivf_path, cents, q, k=10, nprobe=3).collect()
+    out["emb_ivf_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
+
+    t0 = time.time()
+    build_lsh_index(e, lsh_path, planes=6)
+    out["emb_lsh_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in qvecs:
+        lsh_topk_indexed(spark, lsh_path, q, k=10, planes=6).collect()
+    out["emb_lsh_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
+
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    shutil.rmtree(lsh_path, ignore_errors=True)
+    return out
+
+
+def _bench_wide_fanout(spark, n_rows: int = 200_000, n_sinks: int = 12) -> float:
+    """Fan-out economics past the default 4 concurrent writers: one cached
+    frame, 12 sink write jobs with max_workers=12."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shovel_spark.io.sinks import write_sinks
+
+    out_dir = "/tmp/shovel_bench_fanout12"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sinks = [f"s{i:02d}" for i in range(n_sinks)]
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        (F.rand(7) * 1000).alias("v"),
+        F.concat(
+            F.lit("s"), F.lpad((F.col("id") % n_sinks).cast("string"), 2, "0")
+        ).alias("sink"),
+    )
+    t0 = time.time()
+    write_sinks(df, out_dir, sinks, max_workers=n_sinks)
+    elapsed = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed
+
+
 def main_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -103,6 +175,13 @@ def main_default() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # ANN index economics: the contract queries emb_ivf_topk / emb_lsh_topk
+    # build AND tear down their index per invocation (deterministic oracle
+    # form), so their timings measure the build. Report build-once +
+    # amortized probe separately — the number a standing deployment sees.
+    timings.update(_bench_ann_amortized(spark, sf_dir))
+    timings["fanout_write_12_sinks"] = round(_bench_wide_fanout(spark), 3)
     spark.stop()
 
     print(

@@ -1164,6 +1164,62 @@ def emb_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "emb_lsh_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (
+      SELECT p, list(val ORDER BY j) AS plane FROM (
+        SELECT p, j,
+               (CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+                 / 2147483648.0 AS val
+        FROM (
+          SELECT p, j, ('0x' || substr(md5((7000 + p) || ':' || j), 1, 8))::BIGINT AS h
+          FROM range(0, 4) pp(p), range(0, 64) jj(j)
+        )
+      ) GROUP BY p
+    ),
+    sigs AS (
+      SELECT vec_id, any_value(v) AS v,
+             sum(CASE WHEN list_dot_product(v, plane) >= 0
+                      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM e, planes GROUP BY vec_id
+    ),
+    q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id, round(list_cosine_similarity(s.v, qv), 4) AS sim
+    FROM sigs s, q WHERE s.sig = qsig AND s.vec_id != 0
+    ORDER BY list_cosine_similarity(s.v, qv) DESC, s.vec_id LIMIT 10
+    """,
+)
+def emb_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH top-k over a MATERIALIZED index (build_lsh_index →
+    lsh_topk_indexed): the corpus is signed once and written partitioned by
+    signature; the probe signs only the query vector and scans one
+    signature partition (PartitionFilters prune at the scan), exact cosine
+    inside the bucket. The amortized ANN path — contrast lsh_topk, which
+    re-signs the corpus per query. The oracle regenerates the md5-derived
+    hyperplanes and replays sign → bucket-filter → cosine top-k."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.similarity import build_lsh_index, lsh_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
+    build_lsh_index(e.filter(F.col("vec_id") != 0), idx_path, planes=4)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = lsh_topk_indexed(spark, idx_path, q, k=10, planes=4).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+    rows = top.collect()
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return spark.createDataFrame(rows, top.schema)
+
+
+@_register(
     "multimodal_image_features",
     """
     WITH m AS (
@@ -1312,16 +1368,57 @@ def value_deciles(spark, sf_dir):
     )
 
 
-@_register("events_value_quantiles")  # rows-only: approx sketch internals differ
+@_register(
+    "events_value_quantiles",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           round(quantile_cont(value, 0.495), 1) AS p50_lo,
+           round(quantile_cont(value, 0.505), 1) AS p50_hi,
+           TRUE AS p50_in_bounds,
+           round(quantile_cont(value, 0.985), 1) AS p99_lo,
+           round(quantile_cont(value, 0.995), 1) AS p99_hi,
+           TRUE AS p99_in_bounds,
+           TRUE AS users_in_bounds
+    FROM events GROUP BY 1
+    """,
+)
 def events_value_quantiles(spark, sf_dir):
     """Approximate aggregates (SURVEY.md §2.8 'absent in reference'):
     approx quantiles + HLL distinct — the 10^12-row substitutes for global
-    sorts and exact distincts. Accuracy vs exact is pytest-guarded."""
+    sorts and exact distincts.
+
+    Sketch internals are engine-specific, so the oracle is an INVARIANT
+    check rather than value equality: the rank-error window [q-eps, q+eps]
+    is computed EXACTLY by both engines (value-hashed: p50_lo/hi, p99_lo/hi
+    via continuous-interpolation percentile — identical definition in Spark
+    and DuckDB), and Spark asserts its approx results land inside it
+    (booleans; the oracle's TRUE literals fail the hash if they don't).
+    eps=0.005 is 50x percentile_approx's guaranteed rank error at
+    accuracy=10000; the HLL bound is 5 sigma at rsd=0.02."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.round(F.percentile_approx("value", 0.5, 10000), 1).alias("p50"),
-        F.round(F.percentile_approx("value", 0.99, 10000), 1).alias("p99"),
+    a = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        F.percentile("value", 0.495).alias("_p50_lo"),
+        F.percentile("value", 0.505).alias("_p50_hi"),
+        F.percentile("value", 0.985).alias("_p99_lo"),
+        F.percentile("value", 0.995).alias("_p99_hi"),
+        F.percentile_approx("value", 0.5, 10000).alias("_ap50"),
+        F.percentile_approx("value", 0.99, 10000).alias("_ap99"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+    )
+    return a.select(
+        "event_type",
+        "n",
+        "users",
+        F.round("_p50_lo", 1).alias("p50_lo"),
+        F.round("_p50_hi", 1).alias("p50_hi"),
+        F.col("_ap50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_in_bounds"),
+        F.round("_p99_lo", 1).alias("p99_lo"),
+        F.round("_p99_hi", 1).alias("p99_hi"),
+        F.col("_ap99").between(F.col("_p99_lo"), F.col("_p99_hi")).alias("p99_in_bounds"),
+        (F.abs(F.col("_au") - F.col("users")) <= 0.1 * F.col("users")).alias("users_in_bounds"),
     )
 
 
@@ -1505,6 +1602,35 @@ def user_zscore_extremes(spark, sf_dir):
         return pdf[["user_id", "z"]]
 
     z = ev.groupBy("user_id").applyInPandas(zscore, "user_id long, z double")
+    return z.groupBy("user_id").agg(
+        F.round(F.max("z"), 4).alias("max_z"), F.round(F.min("z"), 4).alias("min_z")
+    )
+
+
+@_register(
+    "user_zscore_extremes_native",
+    """
+    WITH z AS (
+      SELECT user_id, event_id,
+             (value - avg(value) OVER (PARTITION BY user_id))
+             / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+      FROM events
+    )
+    SELECT user_id, round(max(z), 4) AS max_z, round(min(z), 4) AS min_z
+    FROM z GROUP BY 1
+    """,
+)
+def user_zscore_extremes_native(spark, sf_dir):
+    """The native twin of user_zscore_extremes: the same per-user z-score
+    via two window aggregates (avg/stddev over user) — whole-stage codegen,
+    no Python stage. This is the HOT-PATH form; the applyInPandas one above
+    stays as the arbitrary-pandas-logic surface demo. Same oracle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    z = ev.select(
+        "user_id",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("z"),
+    )
     return z.groupBy("user_id").agg(
         F.round(F.max("z"), 4).alias("max_z"), F.round(F.min("z"), 4).alias("min_z")
     )

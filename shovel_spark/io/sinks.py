@@ -39,6 +39,7 @@ def _fanout_write(
     fmt: str,
     payload_format: str | None,
     drop_cols: tuple[str, ...] = (),
+    max_workers: int | None = None,
 ) -> dict[str, str]:
     """Shared persist-once machinery behind both dispatch modes: cache the
     routed frame, run one filtered write job per sink concurrently (disjoint
@@ -87,7 +88,12 @@ def _fanout_write(
     try:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(4, len(sinks))) as pool:
+        # concurrent write jobs against one cached frame: each job is a cheap
+        # filtered pass over in-memory batches, so a few in flight keeps the
+        # scheduler busy without N sinks' worth of simultaneous output
+        # committers; callers with many small sinks raise max_workers
+        workers = max_workers if max_workers is not None else min(4, len(sinks))
+        with ThreadPoolExecutor(max_workers=max(1, min(workers, len(sinks)))) as pool:
             for name, path in pool.map(_write_one, sinks):
                 paths[name] = path
     finally:
@@ -105,6 +111,7 @@ def write_sinks(
     output_cols: list[str] | None = None,
     fmt: str = "parquet",
     payload_format: str | None = None,
+    max_workers: int | None = None,
 ) -> dict[str, str]:
     """Write each sink's rows to ``{out_dir}/sink_{name}``; returns paths.
 
@@ -127,6 +134,7 @@ def write_sinks(
     return _fanout_write(
         routed, out_dir, sinks, lambda name: F.col("sink") == name,
         partition_cols, mode, output_cols, fmt, payload_format,
+        max_workers=max_workers,
     )
 
 
@@ -140,6 +148,7 @@ def write_sinks_broadcast(
     fmt: str = "parquet",
     payload_format: str | None = None,
     sinks_col: str = "sinks",
+    max_workers: int | None = None,
 ) -> dict[str, str]:
     """Broadcast-mode fan-out writer: the row's ``sinks: array<string>``
     (apply_routes_broadcast) names EVERY sink that receives it — a row
@@ -149,5 +158,5 @@ def write_sinks_broadcast(
         routed, out_dir, sinks,
         lambda name: F.array_contains(F.col(sinks_col), name),
         partition_cols, mode, output_cols, fmt, payload_format,
-        drop_cols=(sinks_col,),
+        drop_cols=(sinks_col,), max_workers=max_workers,
     )

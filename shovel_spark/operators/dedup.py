@@ -446,11 +446,16 @@ def connected_components(
 
 
 def dup_clusters(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", iters: int = 5
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", iters: int | None = None
 ) -> DataFrame:
     """Near-dup pairs → (canonical, cluster_size): the keep-one-per-cluster
     resolution step after MinHash/SimHash pair generation (the min id in
-    each component is the canonical document to keep)."""
+    each component is the canonical document to keep).
+
+    Default ``iters=None`` runs label propagation to CONVERGENCE — a
+    fixed round count silently under-labels any component whose diameter
+    exceeds it. Pass a fixed ``iters`` only when an external oracle must
+    replay the exact trajectory (each round is then deterministic)."""
     cc = connected_components(pairs, a_col, b_col, iters)
     return cc.groupBy(F.col("component").alias("canonical")).agg(
         F.count("*").alias("cluster_size")

@@ -103,6 +103,78 @@ def lsh_topk(
     )
 
 
+def build_lsh_index(
+    df: DataFrame, path: str,
+    planes: int = 8, dim: int = 64, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    partition_bits: int = 8,
+) -> None:
+    """Materialize the hyperplane-LSH index: corpus written partitioned by
+    signature (prefix).
+
+    The one-shot :func:`lsh_topk` recomputes every corpus signature per
+    query — a full scan each time, which defeats LSH at 100 TB. This is
+    the amortized path (mirror of :func:`build_ivf_index`): sign the corpus
+    ONCE, write ``partitionBy(sig_prefix)``, and every probe after that
+    prunes to one signature-prefix directory at the parquet scan
+    (PartitionFilters) — per-query I/O is ~n/2^partition_bits of the corpus,
+    refined to the exact bucket by a row filter on the stored full ``sig``.
+
+    ``partition_bits`` bounds the directory count at 2^partition_bits
+    regardless of ``planes`` (1024 dirs is fine, 2^20 is not): when
+    ``planes > partition_bits`` the partition key is the signature's high
+    bits and the remaining bits are filtered row-wise inside the pruned
+    partition (min/max stats on ``sig`` narrow that too).
+    """
+    bits = min(planes, partition_bits)
+    sig = hyperplane_signature(F.col(vec_col), planes, dim, seed)
+    out = df.withColumn("sig", sig).withColumn(
+        "sig_prefix",
+        F.shiftright(F.col("sig"), planes - bits) if planes > bits else F.col("sig"),
+    )
+    (
+        out.repartition("sig_prefix")
+        .write.mode("overwrite")
+        .partitionBy("sig_prefix")
+        .parquet(path)
+    )
+
+
+def lsh_topk_indexed(
+    spark, index_path: str, query_vec: list[float], k: int = 10,
+    planes: int = 8, dim: int = 64, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    partition_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k over a materialized LSH index (build_lsh_index):
+    sign the query (one 1-row job — signature math identical to the build
+    side's, never recomputed over the corpus), scan ONLY the matching
+    ``sig_prefix`` partition (PartitionFilters prune at the scan), refine
+    to the exact bucket row-wise, exact cosine inside it.
+
+    Per-query cost: ~1/2^partition_bits of the index I/O + a map-only
+    top-k. No shuffle, no corpus re-signing — the 100 TB ANN probe path."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig = (
+        spark.range(1)
+        .select(hyperplane_signature(q, planes, dim, seed).alias("s"))
+        .first()["s"]
+    )
+    bits = min(planes, partition_bits)
+    prefix = qsig >> (planes - bits) if planes > bits else qsig
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("sig_prefix") == prefix)
+        .filter(F.col("sig") == qsig)
+    )
+    sim = cosine(F.col(vec_col), q)
+    return (
+        idx.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- IVF (inverted file / coarse quantization) ---------------------------------
 
 def ivf_assign(

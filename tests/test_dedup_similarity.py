@@ -222,6 +222,58 @@ def test_connected_components_chain_and_clusters(spark):
     assert clusters == {0: 4, 10: 2}
 
 
+def test_lsh_materialized_index_prunes_partitions(spark, tmp_path):
+    """build_lsh_index + lsh_topk_indexed: the probe's scan must carry a
+    PartitionFilters entry on sig_prefix (zero I/O for other buckets) and
+    return the same rows as the one-shot lsh_topk (which re-signs the
+    corpus per query — the shape this index exists to replace)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    corpus = e.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh")
+    similarity.build_lsh_index(corpus, path, planes=6)
+
+    got = similarity.lsh_topk_indexed(spark, path, q, k=5, planes=6)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "sig_prefix" in plan.split("PartitionFilters")[1][:200]
+
+    one_shot = similarity.lsh_topk(corpus, q, k=5, planes=6)
+    assert [(r.vec_id, round(r.sim, 6)) for r in got.collect()] == [
+        (r.vec_id, round(r.sim, 6)) for r in one_shot.collect()
+    ]
+
+
+def test_lsh_index_prefix_partitioning_bounds_dirs(spark, tmp_path):
+    """planes > partition_bits: directory count is bounded at
+    2^partition_bits and the full-signature row filter still yields exactly
+    the one-shot bucket."""
+    import os
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    corpus = e.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh12")
+    similarity.build_lsh_index(corpus, path, planes=12, partition_bits=4)
+    dirs = [d for d in os.listdir(path) if d.startswith("sig_prefix=")]
+    assert 0 < len(dirs) <= 16
+    got = similarity.lsh_topk_indexed(spark, path, q, k=5, planes=12, partition_bits=4)
+    one_shot = similarity.lsh_topk(corpus, q, k=5, planes=12)
+    assert [(r.vec_id, round(r.sim, 6)) for r in got.collect()] == [
+        (r.vec_id, round(r.sim, 6)) for r in one_shot.collect()
+    ]
+
+
+def test_dup_clusters_default_runs_to_convergence(spark):
+    """dup_clusters' DEFAULT must fully label long chains: a 12-node chain
+    (diameter 11, beyond any reasonable fixed round count) collapses to one
+    cluster of 12 without the caller passing iters."""
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    clusters = {r.canonical: r.cluster_size for r in dedup.dup_clusters(pairs).collect()}
+    assert clusters == {0: 12}
+
+
 def test_connected_components_convergence_mode(spark):
     """iters=None runs to convergence: a 9-node chain (diameter 8) fully
     collapses even though the default fixed iters (5) would not reach it."""

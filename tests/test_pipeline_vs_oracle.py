@@ -130,6 +130,27 @@ def test_sink_payload_encoding_msgpack(spark, routed, tmp_path):
     assert decoded["status"] == "acked"
 
 
+def test_write_sinks_wide_fanout_max_workers(spark, tmp_path):
+    """12-sink fan-out with the concurrency knob raised past the default 4:
+    every sink directory lands with exactly its own rows (persist-once, no
+    cross-sink leakage under concurrent write jobs)."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.io.sinks import write_sinks
+
+    sinks = [f"s{i:02d}" for i in range(12)]
+    df = spark.range(1200).select(
+        F.col("id"), F.concat(F.lit("s"), F.lpad((F.col("id") % 12).cast("string"), 2, "0")).alias("sink")
+    )
+    paths = write_sinks(df, str(tmp_path / "wide"), sinks, max_workers=12)
+    assert set(paths) == set(sinks)
+    for name in sinks:
+        got = spark.read.parquet(paths[name])
+        rows = got.select("id").collect()
+        assert len(rows) == 100
+        assert all(r.id % 12 == int(name[1:]) for r in rows)
+
+
 def test_jsonl_file_input_through_decoder_slot(spark, tmp_path):
     """File input + decoder slot end-to-end (reference: file input feeding
     the json decoder): JSON-lines on disk → spark.read.text → decode_json →
