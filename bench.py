@@ -147,7 +147,11 @@ def main_default() -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("event_type").count().collect()
 
     timings: dict[str, float] = {}
-    t = _run_pipeline(spark, pages_path)
+    # same protocol as --scaling: one warm-up pass (JIT + page cache), then
+    # best of two measured — a single cold run measures JVM warm-up, not the
+    # pipeline (measured 8.6s cold vs 1.7s warm on the same job)
+    _run_pipeline(spark, pages_path)
+    t = min(_run_pipeline(spark, pages_path) for _ in range(2))
     timings["pipeline_parse_route_2m"] = round(t, 3)
     docs_per_sec = n_pages / t
 
