@@ -938,11 +938,11 @@ _ND_SHINGLE_SQL = r"""
 """
 
 
-#: full MinHash→LSH→verify chain as DuckDB CTEs ending in a ``pairs``
-#: relation (id_a, id_b, jaccard >= 0.5) — shared by the near-dup pair
-#: query and the dup-cluster query.
-_ND_MINHASH_CTES = f"""corpus AS ({_ND_CORPUS_SQL}),
-    sh AS ({_ND_SHINGLE_SQL}),
+#: MinHash→LSH→verify chain as DuckDB CTEs over a caller-supplied ``corpus``
+#: (doc_id, text) relation, ending in a ``pairs`` relation
+#: (id_a, id_b, jaccard >= 0.5) — shared by the near-dup pair query, the
+#: dup-cluster query, and the end-to-end clean-corpus query.
+_ND_CHAIN_CTES = f"""sh AS ({_ND_SHINGLE_SQL}),
     hv AS (
       SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
       FROM sh, range(0, 16) t(seed) GROUP BY 1, 2
@@ -972,6 +972,10 @@ _ND_MINHASH_CTES = f"""corpus AS ({_ND_CORPUS_SQL}),
       JOIN sizes sb ON id_b = sb.doc_id
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
     )"""
+
+#: chain bound to the standard near-dup test corpus.
+_ND_MINHASH_CTES = f"""corpus AS ({_ND_CORPUS_SQL}),
+    {_ND_CHAIN_CTES}"""
 
 
 @_register(
@@ -2017,4 +2021,147 @@ def events_zorder_stats(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data cleaning pipeline (flagship composite)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "docs_clean_corpus",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, lang, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, lang,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 300000, lang, repeat('!?#$%& ', 50)
+      FROM documents WHERE doc_id < 30
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+        round((
+          (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+          (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1)) +
+          (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0, 6) AS q
+      FROM raw
+    ),
+    flt AS (SELECT * FROM scored WHERE q >= 0.5),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM flt GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM flt WHERE doc_id IN (SELECT doc_id FROM keep)
+    ),
+    {_ND_CHAIN_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l0 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l0 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l1 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l1 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l2 l
+      LEFT JOIN edges e ON e.src = l.id
+      LEFT JOIN l2 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    kept AS (
+      SELECT f.doc_id, f.lang, f.q,
+             len(regexp_split_to_array(trim(f.text), '\\s+')) AS tokens
+      FROM flt f
+      WHERE f.doc_id IN (SELECT doc_id FROM keep)
+        AND f.doc_id NOT IN (SELECT id FROM l3 WHERE id != label)
+    )
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM kept GROUP BY 1
+    """,
+)
+def docs_clean_corpus(spark, sf_dir):
+    """FLAGSHIP composite: the end-to-end training-data cleaning pipeline —
+    quality filter → exact dedup → MinHash near-dup clustering → keep one
+    canonical per cluster → per-lang corpus stats. Each stage is the real
+    operator (textstats.quality_score, dedup.exact_dedup,
+    dedup.minhash_dedup_pairs, dedup.connected_components) chained the way
+    a 100 TB cleaning job would chain them; the input is documents plus
+    deterministic exact dups (+200000), near-dups with the first word
+    dropped (+100000), and pure-punctuation junk (+300000) so every stage
+    provably removes something. The oracle replays all four stages in
+    DuckDB, including the full MinHash chain and three label-propagation
+    rounds.
+
+    Scale notes: the only shuffles are the md5-fingerprint groupBy (16-byte
+    keys), the (band, signature) bucket join, and per-round label joins —
+    text bodies never shuffle after scoring; candidate pairs come from
+    bucket collisions, never n^2."""
+    from shovel_spark.functions.textstats import quality_score
+    from shovel_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    exact_copies = d.filter(F.col("doc_id") < 60).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    near_copies = (
+        d.filter(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn(
+            "text", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " ")
+        )
+    )
+    junk = d.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 300000
+    ).withColumn("text", F.repeat(F.lit("!?#$%& "), 50))
+    raw = d.unionByName(exact_copies).unionByName(near_copies).unionByName(junk)
+
+    flt = raw.withColumn("q", F.round(quality_score(F.col("text")), 6)).filter(
+        F.col("q") >= 0.5
+    )
+    # survivors feed three consumers (pair generation, the cluster-drop
+    # anti-join, the final agg): checkpoint once so score+dedup don't
+    # re-execute per consumer
+    surv = exact_dedup(flt).localCheckpoint(eager=False)
+    pairs = minhash_dedup_pairs(
+        surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8,
+        family="md5",
+    )
+    cc = connected_components(pairs, iters=3)
+    dropped = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = surv.join(dropped, "doc_id", "left_anti")
+    tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return kept.withColumn("tokens", tokens).groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
     )
