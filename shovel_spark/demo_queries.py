@@ -1224,6 +1224,66 @@ def emb_lsh_topk(spark, sf_dir):
 
 
 @_register(
+    "emb_lsh_topk_multi",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (
+      SELECT t, p, list(val ORDER BY j) AS plane FROM (
+        SELECT t, p, j,
+               (CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+                 / 2147483648.0 AS val
+        FROM (
+          SELECT t, p, j,
+                 ('0x' || substr(md5(((7 + t) * 1000 + p) || ':' || j), 1, 8))::BIGINT AS h
+          FROM range(0, 2) tt(t), range(0, 4) pp(p), range(0, 64) jj(j)
+        )
+      ) GROUP BY t, p
+    ),
+    sigs AS (
+      SELECT t, vec_id, any_value(v) AS v,
+             sum(CASE WHEN list_dot_product(v, plane) >= 0
+                      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM e, planes GROUP BY t, vec_id
+    ),
+    q AS (SELECT t AS qt, v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT s.vec_id, s.v
+      FROM sigs s JOIN q ON s.t = q.qt AND s.sig = q.qsig
+      WHERE s.vec_id != 0
+    )
+    SELECT c.vec_id, round(list_cosine_similarity(c.v, qv), 4) AS sim
+    FROM cand c, (SELECT any_value(qv) AS qv FROM q)
+    ORDER BY list_cosine_similarity(c.v, qv) DESC, c.vec_id LIMIT 10
+    """,
+)
+def emb_lsh_topk_multi(spark, sf_dir):
+    """Multi-table LSH top-k (the recall knob): 2 independent hash tables
+    (seeds 7, 8), probe scans one (table, signature) partition per table,
+    candidates are the DEDUPED union of both buckets — recall
+    1-(1-p^planes)^2 for 2x probe I/O. The oracle regenerates both plane
+    sets, replays per-table bucket filters, unions, dedupes, ranks."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.similarity import build_lsh_index, lsh_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:multi".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
+    build_lsh_index(e.filter(F.col("vec_id") != 0), idx_path, planes=4, num_tables=2)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = lsh_topk_indexed(spark, idx_path, q, k=10, planes=4, num_tables=2).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+    rows = top.collect()
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return spark.createDataFrame(rows, top.schema)
+
+
+@_register(
     "multimodal_image_features",
     """
     WITH m AS (

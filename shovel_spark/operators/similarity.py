@@ -107,35 +107,50 @@ def build_lsh_index(
     df: DataFrame, path: str,
     planes: int = 8, dim: int = 64, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    partition_bits: int = 8,
+    partition_bits: int = 8, num_tables: int = 1,
 ) -> None:
     """Materialize the hyperplane-LSH index: corpus written partitioned by
-    signature (prefix).
+    (hash table, signature prefix).
 
     The one-shot :func:`lsh_topk` recomputes every corpus signature per
     query — a full scan each time, which defeats LSH at 100 TB. This is
     the amortized path (mirror of :func:`build_ivf_index`): sign the corpus
-    ONCE, write ``partitionBy(sig_prefix)``, and every probe after that
-    prunes to one signature-prefix directory at the parquet scan
-    (PartitionFilters) — per-query I/O is ~n/2^partition_bits of the corpus,
-    refined to the exact bucket by a row filter on the stored full ``sig``.
+    ONCE, write ``partitionBy(table, sig_prefix)``, and every probe after
+    that prunes to one signature-prefix directory per table at the parquet
+    scan (PartitionFilters) — per-query I/O is ~num_tables·n/2^partition_bits
+    of the corpus, refined to the exact bucket by a row filter on the
+    stored full ``sig``.
 
-    ``partition_bits`` bounds the directory count at 2^partition_bits
-    regardless of ``planes`` (1024 dirs is fine, 2^20 is not): when
-    ``planes > partition_bits`` the partition key is the signature's high
-    bits and the remaining bits are filtered row-wise inside the pruned
-    partition (min/max stats on ``sig`` narrow that too).
+    ``num_tables`` is the classic LSH recall knob: each table signs with
+    independent hyperplanes (seed+t), a true neighbor is found if it
+    collides in ANY table — recall 1-(1-p^planes)^num_tables at per-plane
+    agreement p, for num_tables× index storage and probe I/O. One table
+    reproduces the original layout exactly (table=0).
+
+    ``partition_bits`` bounds the directory count at
+    num_tables·2^partition_bits regardless of ``planes`` (1024 dirs is
+    fine, 2^20 is not): when ``planes > partition_bits`` the partition key
+    is the signature's high bits and the remaining bits are filtered
+    row-wise inside the pruned partition (min/max stats on ``sig`` narrow
+    that too).
     """
     bits = min(planes, partition_bits)
-    sig = hyperplane_signature(F.col(vec_col), planes, dim, seed)
-    out = df.withColumn("sig", sig).withColumn(
-        "sig_prefix",
-        F.shiftright(F.col("sig"), planes - bits) if planes > bits else F.col("sig"),
-    )
+    per_table = []
+    for t in range(num_tables):
+        sig = hyperplane_signature(F.col(vec_col), planes, dim, seed + t)
+        per_table.append(
+            df.withColumn("table", F.lit(t)).withColumn("sig", sig).withColumn(
+                "sig_prefix",
+                F.shiftright(F.col("sig"), planes - bits) if planes > bits else F.col("sig"),
+            )
+        )
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionByName(t)
     (
-        out.repartition("sig_prefix")
+        out.repartition("table", "sig_prefix")
         .write.mode("overwrite")
-        .partitionBy("sig_prefix")
+        .partitionBy("table", "sig_prefix")
         .parquet(path)
     )
 
@@ -144,35 +159,48 @@ def lsh_topk_indexed(
     spark, index_path: str, query_vec: list[float], k: int = 10,
     planes: int = 8, dim: int = 64, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    partition_bits: int = 8,
+    partition_bits: int = 8, num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k over a materialized LSH index (build_lsh_index):
-    sign the query (one 1-row job — signature math identical to the build
-    side's, never recomputed over the corpus), scan ONLY the matching
-    ``sig_prefix`` partition (PartitionFilters prune at the scan), refine
-    to the exact bucket row-wise, exact cosine inside it.
+    sign the query once per table (one 1-row job — signature math identical
+    to the build side's, never recomputed over the corpus), scan ONLY the
+    matching (table, sig_prefix) partitions (PartitionFilters prune at the
+    scan), refine to the exact bucket row-wise, dedupe ids colliding in
+    several tables, exact cosine inside the union of buckets.
 
-    Per-query cost: ~1/2^partition_bits of the index I/O + a map-only
-    top-k. No shuffle, no corpus re-signing — the 100 TB ANN probe path."""
+    Per-query cost: ~num_tables/2^partition_bits of the index I/O + a
+    map-only top-k. No shuffle of the corpus, no re-signing — the 100 TB
+    ANN probe path; ``num_tables`` must match the build."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qsig = (
+    qsigs = (
         spark.range(1)
-        .select(hyperplane_signature(q, planes, dim, seed).alias("s"))
-        .first()["s"]
+        .select(
+            *[
+                hyperplane_signature(q, planes, dim, seed + t).alias(f"s{t}")
+                for t in range(num_tables)
+            ]
+        )
+        .first()
     )
     bits = min(planes, partition_bits)
-    prefix = qsig >> (planes - bits) if planes > bits else qsig
-    idx = (
-        spark.read.parquet(index_path)
-        .filter(F.col("sig_prefix") == prefix)
-        .filter(F.col("sig") == qsig)
-    )
+    cond = None
+    for t in range(num_tables):
+        qsig = qsigs[f"s{t}"]
+        prefix = qsig >> (planes - bits) if planes > bits else qsig
+        c = (
+            (F.col("table") == t)
+            & (F.col("sig_prefix") == prefix)
+            & (F.col("sig") == qsig)
+        )
+        cond = c if cond is None else (cond | c)
+    idx = spark.read.parquet(index_path).filter(cond)
     sim = cosine(F.col(vec_col), q)
-    return (
-        idx.select(F.col(id_col), sim.alias("sim"))
-        .orderBy(F.desc("sim"), F.asc(id_col))
-        .limit(k)
-    )
+    sel = idx.select(F.col(id_col), sim.alias("sim"))
+    if num_tables > 1:
+        # an id colliding in several tables appears once per table; the
+        # dedupe shuffles only the union of probed buckets (tiny)
+        sel = sel.dropDuplicates([id_col])
+    return sel.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
 # --- IVF (inverted file / coarse quantization) ---------------------------------

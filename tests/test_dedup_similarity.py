@@ -255,13 +255,41 @@ def test_lsh_index_prefix_partitioning_bounds_dirs(spark, tmp_path):
     corpus = e.filter(F.col("vec_id") != 0)
     path = str(tmp_path / "lsh12")
     similarity.build_lsh_index(corpus, path, planes=12, partition_bits=4)
-    dirs = [d for d in os.listdir(path) if d.startswith("sig_prefix=")]
+    dirs = [d for d in os.listdir(os.path.join(path, "table=0")) if d.startswith("sig_prefix=")]
     assert 0 < len(dirs) <= 16
     got = similarity.lsh_topk_indexed(spark, path, q, k=5, planes=12, partition_bits=4)
     one_shot = similarity.lsh_topk(corpus, q, k=5, planes=12)
     assert [(r.vec_id, round(r.sim, 6)) for r in got.collect()] == [
         (r.vec_id, round(r.sim, 6)) for r in one_shot.collect()
     ]
+
+
+def test_lsh_multi_table_improves_recall(spark, tmp_path):
+    """num_tables > 1 (the classic LSH recall knob): the multi-table probe's
+    candidate set is the union of per-table buckets, so it must contain
+    every single-table result and its top-k cosine-to-exact recall must be
+    >= the single-table probe's. Also: no duplicate ids despite an id
+    colliding in several tables."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(e.filter(F.col("vec_id") == 0).first().embedding)
+    corpus = e.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(corpus, q, k=10).collect()
+    }
+
+    p1, p4 = str(tmp_path / "t1"), str(tmp_path / "t4")
+    similarity.build_lsh_index(corpus, p1, planes=8, num_tables=1)
+    similarity.build_lsh_index(corpus, p4, planes=8, num_tables=4)
+    got1 = similarity.lsh_topk_indexed(spark, p1, q, k=10, planes=8, num_tables=1).collect()
+    got4 = similarity.lsh_topk_indexed(spark, p4, q, k=10, planes=8, num_tables=4).collect()
+
+    ids4 = [r.vec_id for r in got4]
+    assert len(ids4) == len(set(ids4))  # cross-table dedupe
+    recall1 = len({r.vec_id for r in got1} & exact)
+    recall4 = len(set(ids4) & exact)
+    assert recall4 >= recall1
+    assert recall4 >= 1  # 4 tables at 8 planes must surface some true neighbor
 
 
 def test_dup_clusters_default_runs_to_convergence(spark):
