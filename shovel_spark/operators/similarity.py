@@ -183,17 +183,22 @@ def lsh_topk_indexed(
         .first()
     )
     bits = min(planes, partition_bits)
-    cond = None
+    # one scan PER table, unioned — NOT one scan with an OR filter: each
+    # scan's conjunct-only predicate splits cleanly into PartitionFilters
+    # (table, sig_prefix) + a data filter (sig), whereas an OR mixing
+    # partition and data columns defeats static partition pruning entirely
+    # (Spark only prunes on predicates referencing partition columns alone)
+    idx = None
     for t in range(num_tables):
         qsig = qsigs[f"s{t}"]
         prefix = qsig >> (planes - bits) if planes > bits else qsig
-        c = (
-            (F.col("table") == t)
-            & (F.col("sig_prefix") == prefix)
-            & (F.col("sig") == qsig)
+        scan = (
+            spark.read.parquet(index_path)
+            .filter(F.col("table") == t)
+            .filter(F.col("sig_prefix") == prefix)
+            .filter(F.col("sig") == qsig)
         )
-        cond = c if cond is None else (cond | c)
-    idx = spark.read.parquet(index_path).filter(cond)
+        idx = scan if idx is None else idx.unionByName(scan)
     sim = cosine(F.col(vec_col), q)
     sel = idx.select(F.col(id_col), sim.alias("sim"))
     if num_tables > 1:

@@ -282,7 +282,14 @@ def test_lsh_multi_table_improves_recall(spark, tmp_path):
     similarity.build_lsh_index(corpus, p1, planes=8, num_tables=1)
     similarity.build_lsh_index(corpus, p4, planes=8, num_tables=4)
     got1 = similarity.lsh_topk_indexed(spark, p1, q, k=10, planes=8, num_tables=1).collect()
-    got4 = similarity.lsh_topk_indexed(spark, p4, q, k=10, planes=8, num_tables=4).collect()
+    probe4 = similarity.lsh_topk_indexed(spark, p4, q, k=10, planes=8, num_tables=4)
+    # EVERY per-table scan must prune: an OR-shaped filter would silently
+    # scan all partitions (partition pruning needs partition-only predicates)
+    plan = probe4._jdf.queryExecution().executedPlan().toString()
+    pf = [seg[:200] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert len(pf) == 4
+    assert all("table" in seg and "sig_prefix" in seg for seg in pf)
+    got4 = probe4.collect()
 
     ids4 = [r.vec_id for r in got4]
     assert len(ids4) == len(set(ids4))  # cross-table dedupe
