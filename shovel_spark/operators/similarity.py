@@ -65,6 +65,25 @@ def _plane(dim: int, seed: int) -> list[float]:
     return out
 
 
+def py_signature(vec: list[float], planes: int = 12, dim: int = 64, seed: int = 7) -> int:
+    """Driver-side twin of :func:`hyperplane_signature` for a single query
+    vector — same planes, same left-to-right double accumulation, so the
+    result is bit-identical to the Spark expression (both are IEEE-754
+    doubles applied in the same order; parity is pytest-asserted over the
+    whole test corpus). Lets a probe sign its query with ZERO Spark jobs —
+    the JVM path would codegen-compile a fresh 6x64-literal expression per
+    query (~1s each)."""
+    sig = 0
+    for p in range(planes):
+        plane = _plane(dim, seed * 1000 + p)
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc += float(x) * y
+        if acc >= 0:
+            sig |= 1 << p
+    return sig
+
+
 def hyperplane_signature(vec: Column, planes: int = 12, dim: int = 64, seed: int = 7) -> Column:
     """Sign pattern of the vector against ``planes`` fixed hyperplanes,
     packed into one long — the LSH bucket key. Vectors with high cosine
@@ -88,15 +107,11 @@ def lsh_topk(
     inside it. Bucket size ≈ n/2^planes — the tunable recall/cost knob.
     (Production variant: multiple hash tables for recall; same plumbing.)"""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qsig_row = (
-        df.sparkSession.range(1)
-        .select(hyperplane_signature(q, planes, dim, seed).alias("s"))
-        .first()
-    )
+    qsig = py_signature(query_vec, planes, dim, seed)
     sim = cosine(F.col(vec_col), q)
     return (
         df.withColumn("__sig", hyperplane_signature(F.col(vec_col), planes, dim, seed))
-        .filter(F.col("__sig") == qsig_row["s"])
+        .filter(F.col("__sig") == qsig)
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
@@ -172,16 +187,10 @@ def lsh_topk_indexed(
     map-only top-k. No shuffle of the corpus, no re-signing — the 100 TB
     ANN probe path; ``num_tables`` must match the build."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qsigs = (
-        spark.range(1)
-        .select(
-            *[
-                hyperplane_signature(q, planes, dim, seed + t).alias(f"s{t}")
-                for t in range(num_tables)
-            ]
-        )
-        .first()
-    )
+    qsigs = {
+        f"s{t}": py_signature(query_vec, planes, dim, seed + t)
+        for t in range(num_tables)
+    }
     bits = min(planes, partition_bits)
     # one scan PER table, unioned — NOT one scan with an OR filter: each
     # scan's conjunct-only predicate splits cleanly into PartitionFilters

@@ -264,6 +264,21 @@ def test_lsh_index_prefix_partitioning_bounds_dirs(spark, tmp_path):
     ]
 
 
+def test_py_signature_matches_spark_expression(spark):
+    """Driver-side query signing must be BIT-IDENTICAL to the Spark
+    expression over every test vector, for several plane counts and seeds
+    (same planes, same left-fold double accumulation) — the invariant that
+    lets probes sign queries with zero Spark jobs."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for planes, seed in [(6, 7), (8, 7), (12, 9)]:
+        rows = e.select(
+            "vec_id", "embedding",
+            similarity.hyperplane_signature(F.col("embedding"), planes, 64, seed).alias("s"),
+        ).collect()
+        for r in rows:
+            assert similarity.py_signature(list(r.embedding), planes, 64, seed) == r.s, r.vec_id
+
+
 def test_lsh_multi_table_improves_recall(spark, tmp_path):
     """num_tables > 1 (the classic LSH recall knob): the multi-table probe's
     candidate set is the union of per-table buckets, so it must contain
