@@ -161,15 +161,19 @@ def main_default() -> None:
     from shovel_spark.pipeline import JobConfig, run_resumable
     from shovel_spark.synth import default_domain_rules, default_lang_map
 
+    # same warm-up protocol as the parse bench: the first write run pays
+    # one-time codegen/committer JIT (measured 28s cold vs 9-11s warm on
+    # identical input); report the steady-state run
     out_dir = "/tmp/shovel_bench_write_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    res = run_resumable(
-        spark,
-        spark.read.parquet(pages_path),
-        default_lang_map(spark),
-        default_domain_rules(spark),
-        JobConfig(out_dir=out_dir, n_buckets=64),
-    )
+    for _pass in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        res = run_resumable(
+            spark,
+            spark.read.parquet(pages_path),
+            default_lang_map(spark),
+            default_domain_rules(spark),
+            JobConfig(out_dir=out_dir, n_buckets=64),
+        )
     timings["pipeline_full_write_2m"] = round(res["elapsed_sec"], 3)
     write_docs_per_sec = n_pages / res["elapsed_sec"]
 
