@@ -86,26 +86,30 @@ def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
     ]
     out: dict[str, float] = {}
 
-    ivf_path, lsh_path = "/tmp/shovel_bench_ivf_idx", "/tmp/shovel_bench_lsh_idx"
-    cents = centroids_from_labels(e)
-    t0 = time.time()
-    build_ivf_index(e, cents, ivf_path)
-    out["emb_ivf_index_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    for q in qvecs:
-        ivf_topk_indexed(spark, ivf_path, cents, q, k=10, nprobe=3).collect()
-    out["emb_ivf_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
+    # pid-suffixed scratch paths (two bench processes on one host must not
+    # clobber each other's index mid-probe); cleanup in finally
+    ivf_path = f"/tmp/shovel_bench_ivf_idx_{os.getpid()}"
+    lsh_path = f"/tmp/shovel_bench_lsh_idx_{os.getpid()}"
+    try:
+        cents = centroids_from_labels(e)
+        t0 = time.time()
+        build_ivf_index(e, cents, ivf_path)
+        out["emb_ivf_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for q in qvecs:
+            ivf_topk_indexed(spark, ivf_path, cents, q, k=10, nprobe=3).collect()
+        out["emb_ivf_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
 
-    t0 = time.time()
-    build_lsh_index(e, lsh_path, planes=6)
-    out["emb_lsh_index_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    for q in qvecs:
-        lsh_topk_indexed(spark, lsh_path, q, k=10, planes=6).collect()
-    out["emb_lsh_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
-
-    shutil.rmtree(ivf_path, ignore_errors=True)
-    shutil.rmtree(lsh_path, ignore_errors=True)
+        t0 = time.time()
+        build_lsh_index(e, lsh_path, planes=6)
+        out["emb_lsh_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for q in qvecs:
+            lsh_topk_indexed(spark, lsh_path, q, k=10, planes=6).collect()
+        out["emb_lsh_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
+    finally:
+        shutil.rmtree(ivf_path, ignore_errors=True)
+        shutil.rmtree(lsh_path, ignore_errors=True)
     return out
 
 
@@ -118,7 +122,7 @@ def _bench_wide_fanout(spark, n_rows: int = 200_000, n_sinks: int = 12) -> float
 
     from shovel_spark.io.sinks import write_sinks
 
-    out_dir = "/tmp/shovel_bench_fanout12"
+    out_dir = f"/tmp/shovel_bench_fanout12_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     sinks = [f"s{i:02d}" for i in range(n_sinks)]
     df = spark.range(n_rows).select(
@@ -128,10 +132,12 @@ def _bench_wide_fanout(spark, n_rows: int = 200_000, n_sinks: int = 12) -> float
             F.lit("s"), F.lpad((F.col("id") % n_sinks).cast("string"), 2, "0")
         ).alias("sink"),
     )
-    t0 = time.time()
-    write_sinks(df, out_dir, sinks, max_workers=n_sinks)
-    elapsed = time.time() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        t0 = time.time()
+        write_sinks(df, out_dir, sinks, max_workers=n_sinks)
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return elapsed
 
 

@@ -583,13 +583,16 @@ def _spark_shingles(d, k: int = 3):
     return base.select("doc_id", F.explode(shingles).alias("sh"))
 
 
+#: exact twin of _spark_shingles including sub-3-token docs: Spark's
+#: slice(w, i, 3) clamps at the array end (a 2-token doc yields one short
+#: shingle), so the SQL must use list_slice + array_to_string — a w[i+2]
+#: concat would NULL out short shingles and an n-2-bounded range would
+#: emit none at all.
 _SHINGLE_SQL = """
       SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
-               i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                    regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS sh
-      FROM documents
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
 """
 
 
@@ -930,10 +933,12 @@ _ND_CORPUS_SQL = r"""
       FROM documents WHERE doc_id < 40
 """
 
+#: same exact-twin shape as _SHINGLE_SQL (short docs included): Spark's
+#: shingle_table emits one clamped shingle for 1-2-token docs.
 _ND_SHINGLE_SQL = r"""
       SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(len(w) - 1, 1)),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus)
 """
 
@@ -1167,6 +1172,36 @@ def emb_ivf_topk(spark, sf_dir):
     return spark.createDataFrame(rows, top.schema)
 
 
+def _lsh_topk_indexed_query(spark, sf_dir, num_tables: int, salt: str):
+    """Shared body of the two LSH-index contract queries: build a scratch
+    index over embeddings (vec 0 excluded), probe with vec 0, materialize
+    the k rows, and ALWAYS remove the scratch index (try/finally — a probe
+    failure must not leak per-session /tmp directories)."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.similarity import build_lsh_index, lsh_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}{salt}".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
+    try:
+        build_lsh_index(
+            e.filter(F.col("vec_id") != 0), idx_path, planes=4, num_tables=num_tables
+        )
+        q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        top = lsh_topk_indexed(
+            spark, idx_path, q, k=10, planes=4, num_tables=num_tables
+        ).select("vec_id", F.round("sim", 4).alias("sim"))
+        rows = top.collect()
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+    return spark.createDataFrame(rows, top.schema)
+
+
 @_register(
     "emb_lsh_topk",
     """
@@ -1197,30 +1232,13 @@ def emb_ivf_topk(spark, sf_dir):
 def emb_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH top-k over a MATERIALIZED index (build_lsh_index →
     lsh_topk_indexed): the corpus is signed once and written partitioned by
-    signature; the probe signs only the query vector and scans one
-    signature partition (PartitionFilters prune at the scan), exact cosine
-    inside the bucket. The amortized ANN path — contrast lsh_topk, which
-    re-signs the corpus per query. The oracle regenerates the md5-derived
-    hyperplanes and replays sign → bucket-filter → cosine top-k."""
-    import hashlib
-    import os
-    import shutil
-
-    from shovel_spark.operators.similarity import build_lsh_index, lsh_topk_indexed
-
-    e = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}".encode()
-    ).hexdigest()[:12]
-    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
-    build_lsh_index(e.filter(F.col("vec_id") != 0), idx_path, planes=4)
-    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    top = lsh_topk_indexed(spark, idx_path, q, k=10, planes=4).select(
-        "vec_id", F.round("sim", 4).alias("sim")
-    )
-    rows = top.collect()
-    shutil.rmtree(idx_path, ignore_errors=True)
-    return spark.createDataFrame(rows, top.schema)
+    signature; the probe signs only the query vector (driver-side, zero
+    Spark jobs) and scans one signature partition (PartitionFilters prune
+    at the scan), exact cosine inside the bucket. The amortized ANN path —
+    contrast lsh_topk, which re-signs the corpus per query. The oracle
+    regenerates the md5-derived hyperplanes and replays
+    sign → bucket-filter → cosine top-k."""
+    return _lsh_topk_indexed_query(spark, sf_dir, num_tables=1, salt="")
 
 
 @_register(
@@ -1262,25 +1280,7 @@ def emb_lsh_topk_multi(spark, sf_dir):
     candidates are the DEDUPED union of both buckets — recall
     1-(1-p^planes)^2 for 2x probe I/O. The oracle regenerates both plane
     sets, replays per-table bucket filters, unions, dedupes, ranks."""
-    import hashlib
-    import os
-    import shutil
-
-    from shovel_spark.operators.similarity import build_lsh_index, lsh_topk_indexed
-
-    e = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:multi".encode()
-    ).hexdigest()[:12]
-    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
-    build_lsh_index(e.filter(F.col("vec_id") != 0), idx_path, planes=4, num_tables=2)
-    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    top = lsh_topk_indexed(spark, idx_path, q, k=10, planes=4, num_tables=2).select(
-        "vec_id", F.round("sim", 4).alias("sim")
-    )
-    rows = top.collect()
-    shutil.rmtree(idx_path, ignore_errors=True)
-    return spark.createDataFrame(rows, top.schema)
+    return _lsh_topk_indexed_query(spark, sf_dir, num_tables=2, salt=":multi")
 
 
 @_register(
@@ -1481,7 +1481,9 @@ def events_value_quantiles(spark, sf_dir):
         ev.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count("*").alias("users"))
+        # count(user_id), not count(*): the oracle's count(DISTINCT user_id)
+        # and the HLL sketch both EXCLUDE a NULL user_id
+        .agg(F.count("user_id").alias("users"))
     )
     a = sketches.join(F.broadcast(users), "event_type")
     return a.select(

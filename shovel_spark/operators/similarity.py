@@ -72,14 +72,25 @@ def py_signature(vec: list[float], planes: int = 12, dim: int = 64, seed: int = 
     doubles applied in the same order; parity is pytest-asserted over the
     whole test corpus). Lets a probe sign its query with ZERO Spark jobs —
     the JVM path would codegen-compile a fresh 6x64-literal expression per
-    query (~1s each)."""
+    query (~1s each).
+
+    Edge-case parity with Spark SQL semantics (not Python's):
+    - a vector whose length != dim makes zip_with null-pad, so every dot
+      is NULL and ``NULL >= 0`` leaves the bit UNSET -> signature 0;
+    - a NaN component makes the dot NaN, and Spark's ordering places NaN
+      ABOVE all numbers, so ``NaN >= 0`` SETS the bit (Python's is False).
+    """
+    import math
+
+    if len(vec) != dim:
+        return 0
     sig = 0
     for p in range(planes):
         plane = _plane(dim, seed * 1000 + p)
         acc = 0.0
         for x, y in zip(vec, plane):
             acc += float(x) * y
-        if acc >= 0:
+        if acc >= 0 or math.isnan(acc):
             sig |= 1 << p
     return sig
 
@@ -121,7 +132,7 @@ def lsh_topk(
 def build_lsh_index(
     df: DataFrame, path: str,
     planes: int = 8, dim: int = 64, seed: int = 7,
-    vec_col: str = "embedding", id_col: str = "vec_id",
+    vec_col: str = "embedding",
     partition_bits: int = 8, num_tables: int = 1,
 ) -> None:
     """Materialize the hyperplane-LSH index: corpus written partitioned by
@@ -177,11 +188,12 @@ def lsh_topk_indexed(
     partition_bits: int = 8, num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k over a materialized LSH index (build_lsh_index):
-    sign the query once per table (one 1-row job — signature math identical
-    to the build side's, never recomputed over the corpus), scan ONLY the
-    matching (table, sig_prefix) partitions (PartitionFilters prune at the
-    scan), refine to the exact bucket row-wise, dedupe ids colliding in
-    several tables, exact cosine inside the union of buckets.
+    sign the query once per table DRIVER-SIDE (py_signature — bit-identical
+    to the build side's expression, zero Spark jobs, never recomputed over
+    the corpus), scan ONLY the matching (table, sig_prefix) partitions
+    (PartitionFilters prune at the scan), refine to the exact bucket
+    row-wise, dedupe ids colliding in several tables, exact cosine inside
+    the union of buckets.
 
     Per-query cost: ~num_tables/2^partition_bits of the index I/O + a
     map-only top-k. No shuffle of the corpus, no re-signing — the 100 TB
