@@ -237,18 +237,15 @@ def asof_prior_signup(spark, sf_dir):
     """,
 )
 def sessionize_30m(spark, sf_dir):
-    """Session windows (30-min inactivity gap), batch form: lag + cumulative sum."""
+    """Session windows (30-min inactivity gap), batch form — via the
+    reusable operators/windows.sessionize (lag + cumulative sum); session
+    count = the key's max 1-based session id."""
+    from shovel_spark.operators.windows import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    # compare at microsecond precision — a seconds-truncating cast can
-    # disagree with the oracle's INTERVAL comparison at exact boundaries
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))
-    new_session = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
-    return (
-        ev.withColumn("new_session", new_session)
-        .groupBy("user_id")
-        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    s = sessionize(ev, ["user_id"], ts_col="ts", gap_seconds=1800, order_cols=["event_id"])
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
     )
 
 

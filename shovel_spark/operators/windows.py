@@ -1,0 +1,104 @@
+"""Reusable event-time window operators — sessionization and as-of joins.
+
+SURVEY.md §2.8 additions beyond the reference (node-shovel processes one
+message at a time and has no event-time semantics at all — reference:
+src/core/processor.js handles each message independently). These are the
+batch forms; the streaming analogs live in streaming/stateful.py
+(applyInPandasWithState session windows).
+
+Both are single-shuffle per key group: one hash exchange on the key
+columns, then sort-within-partition window work — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-key session id: a new session starts when the gap from
+    the previous event exceeds ``gap_seconds`` (classic inactivity
+    sessionization, lag + cumulative sum — one shuffle on the keys).
+
+    ``order_cols`` breaks ties among equal timestamps deterministically
+    (pass a unique id column). Session ids are 1-based and contiguous per
+    key; ``max(session_id)`` is the key's session count. Gap comparison is
+    at microsecond precision — a seconds-truncating cast can disagree with
+    an INTERVAL comparison at exact boundaries.
+    """
+    order = [ts_col, *(order_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    new_session = F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(new_session).over(cum))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join (pandas ``merge_asof`` semantics): each left row
+    gets the ``value_cols`` of the LATEST right row with
+    ``right_ts <= left_ts`` for the same key, or NULL when none precedes.
+
+    Scale-correct distributed form — union-tag, NOT a range join: tag both
+    sides, union on (key, ts), one window pass carrying
+    ``last(value, ignorenulls=True)`` forward in time order, keep left
+    rows. One shuffle on the key columns total; a range-join formulation
+    would explode to |left|x|right| candidate pairs per key before
+    filtering. Ties (right_ts == left_ts) count as preceding — right rows
+    sort before left rows at equal timestamps.
+
+    The right timestamp is also carried as ``{right_ts}{suffix}`` so
+    callers can window/expire matches (e.g. drop matches older than 7
+    days) without a second join.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in {*on, right_ts}
+    ]
+    carried = [right_ts, *value_cols]
+    out_names = {c: (f"{c}{suffix}" if c in left.columns or c == right_ts else c) for c in carried}
+
+    l_tag = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "__is_left", F.lit(1)
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c).alias(f"__carry_{c}") for c in carried],
+    ).withColumn("__is_left", F.lit(0))
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows order BEFORE left rows at equal __ts (0 < 1): an exact-tie
+    # right row is visible to the left row — the <= in "right_ts <= left_ts"
+    w = Window.partitionBy(*on).orderBy("__ts", "__is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = both
+    for c in carried:
+        filled = filled.withColumn(
+            out_names[c], F.last(f"__carry_{c}", ignorenulls=True).over(w)
+        )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .drop("__ts", "__is_left", *[f"__carry_{c}" for c in carried])
+    )

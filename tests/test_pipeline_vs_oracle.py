@@ -185,3 +185,48 @@ def test_jsonl_file_input_through_decoder_slot(spark, tmp_path):
     assert {(r.status, r["count"]) for r in via_file} == {
         (r.status, r["count"]) for r in direct
     }
+
+
+def test_gzip_jsonl_input_through_decoder_slot(spark, tmp_path):
+    """Compressed log intake (the shape real log shippers deliver:
+    rotated .jsonl.gz): Spark's text source decompresses .gz transparently,
+    and the SAME decode_json → build_routed chain produces counts identical
+    to the uncompressed run. Note .gz files are not splittable — one task
+    per file, so at scale the input should arrive as many files (it does:
+    one per rotation), which is exactly how parallelism is preserved."""
+    import gzip
+    import os
+
+    from shovel_spark.functions.codecs import decode_json
+    from shovel_spark.pipeline import JobConfig, build_routed
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    pages = synth_pages(spark, 300, seed=11)
+    rows = pages.select(
+        F.to_json(
+            F.struct("url", "warc_ts", F.base64("html").alias("html_b64"), "text", "lang")
+        ).alias("value")
+    ).collect()
+    gz_dir = tmp_path / "gz"
+    os.makedirs(gz_dir)
+    # two files -> two input tasks (the rotation-preserves-parallelism shape)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with gzip.open(gz_dir / f"pages_{i}.jsonl.gz", "wt") as f:
+            f.write("\n".join(r.value for r in chunk) + "\n")
+
+    schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
+    decoded = (
+        spark.read.text(str(gz_dir))
+        .withColumn("r", decode_json(F.col("value"), schema))
+        .select("r.*")
+        .withColumn("html", F.unbase64("html_b64"))
+        .drop("html_b64")
+    )
+    cfg = JobConfig(n_buckets=8)
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    via_gz = build_routed(decoded, lm, dr, cfg).groupBy("status").count().collect()
+    direct = build_routed(pages, lm, dr, cfg).groupBy("status").count().collect()
+    assert {(r.status, r["count"]) for r in via_gz} == {
+        (r.status, r["count"]) for r in direct
+    }

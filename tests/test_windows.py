@@ -1,0 +1,102 @@
+"""operators/windows.py — sessionize and as-of join semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from shovel_spark.operators import windows
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Exactly-at-gap events stay in the session; one microsecond past the
+    gap starts a new one. Ids are 1-based and contiguous per key."""
+    rows = [
+        (1, 1, _ts("2024-01-01T10:00:00")),
+        (1, 2, _ts("2024-01-01T10:30:00")),          # gap == 1800s -> same session
+        (1, 3, _ts("2024-01-01T11:00:00.000001")),   # 1800.000001s -> new session
+        (2, 4, _ts("2024-01-01T09:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in windows.sessionize(df, ["user_id"], order_cols=["event_id"]).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag and the cumulative sum share one Window partitioning — exactly
+    one Exchange in the plan."""
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    plan = (
+        windows.sessionize(df, ["user_id"], order_cols=["event_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Backward as-of semantics verified against pandas merge_asof over
+    deterministic pseudo-random data with ties, missing keys, and
+    out-of-order input."""
+    import pandas as pd
+
+    left = [
+        (u, i, _ts(f"2024-01-01T{h:02d}:{m:02d}:00"))
+        for i, (u, h, m) in enumerate(
+            [(1, 10, 0), (1, 10, 30), (1, 9, 0), (2, 12, 0), (3, 8, 0), (2, 11, 59)]
+        )
+    ]
+    right = [
+        (1, _ts("2024-01-01T09:00:00"), 100.0),   # exact tie with a left row
+        (1, _ts("2024-01-01T10:15:00"), 110.0),
+        (2, _ts("2024-01-01T11:59:00"), 200.0),   # exact tie
+        (2, _ts("2024-01-01T13:00:00"), 210.0),   # after every left row
+        # user 3 has no right rows at all
+    ]
+    ldf = spark.createDataFrame(left, "user_id long, event_id long, ts timestamp")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, price double")
+
+    got = {
+        r.event_id: (r.price, r.ts_asof)
+        for r in windows.asof_join(ldf, rdf, on=["user_id"]).collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["user_id", "event_id", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(right, columns=["user_id", "ts", "price"]).sort_values("ts")
+    merged = pd.merge_asof(lpd, rpd, on="ts", by="user_id", direction="backward")
+    for _, row in merged.iterrows():
+        price, ts_asof = got[row.event_id]
+        if pd.isna(row.price):
+            assert price is None and ts_asof is None
+        else:
+            assert price == row.price
+    assert len(got) == len(left)  # every left row survives (left-join shape)
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    """The union-tag formulation plans exactly one Exchange on the key and
+    never a range/nested-loop join."""
+    ldf = spark.range(1000).select(
+        (F.col("id") % 7).alias("user_id"), F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    rdf = spark.range(100).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 11).alias("ts"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+    out = windows.asof_join(ldf, rdf, on=["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
