@@ -2326,3 +2326,117 @@ def docs_clean_corpus(spark, sf_dir):
         F.sum("tokens").alias("total_tokens"),
         F.round(F.avg("q"), 4).alias("avg_quality"),
     )
+
+
+@_register(
+    "docs_benchmark_contamination",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 400000,
+             text || ' ' || (SELECT text FROM documents WHERE doc_id = 3)
+      FROM documents WHERE doc_id >= 20 AND doc_id < 25
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    c_sh AS ({_ND_SHINGLE_SQL}),
+    b_sh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM bench)
+      )
+    )
+    SELECT c_sh.doc_id, CAST(count(DISTINCT c_sh.shingle) AS BIGINT) AS overlap
+    FROM c_sh JOIN b_sh ON c_sh.shingle = b_sh.shingle
+    GROUP BY 1 HAVING count(DISTINCT c_sh.shingle) >= 3
+    ORDER BY 1
+    """,
+)
+def docs_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_overlap): docs < 20
+    act as the eval set; the corpus is the remaining docs plus five
+    deliberately contaminated ones (benchmark doc 3's text appended).
+    Flags every corpus doc sharing >= 3 distinct 3-gram shingles with any
+    benchmark doc — the leak filter an LLM training pipeline runs before
+    training. The oracle replays shingling and the overlap join. Note
+    _ND_SHINGLE_SQL reads from a CTE named ``corpus``."""
+    from shovel_spark.operators.dedup import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 20)
+    clean = d.filter(F.col("doc_id") >= 20)
+    leak_text = d.filter(F.col("doc_id") == 3).first()["text"]
+    contaminated = (
+        clean.filter(F.col("doc_id") < 25)
+        .withColumn("doc_id", F.col("doc_id") + 400000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + leak_text)))
+    )
+    corpus = clean.unionByName(contaminated)
+    return contamination_overlap(corpus, bench, min_overlap=3).orderBy("doc_id")
+
+
+@_register(
+    "docs_redact_pii",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             text || ' Contact user' || doc_id ||
+             '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             '-4321 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today.' AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, lang, length(text) AS len_before,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+      FROM seeded
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(red, '<EMAIL>'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(red, '<PHONE>'))) AS BIGINT) AS n_phones,
+           CAST(sum(len(regexp_extract_all(red, '<IP>'))) AS BIGINT) AS n_ips,
+           CAST(sum(len_before - length(red)) AS BIGINT) AS chars_removed
+    FROM red GROUP BY 1
+    """,
+)
+def docs_redact_pii(spark, sf_dir):
+    """PII scrubbing (textstats.redact_pii): every document gets a
+    deterministic contact line (email + phone + IPv4) appended, redaction
+    replaces them with typed markers — C4-style scrub, chained
+    regexp_replace fused into the scan. The oracle replays the seeding and
+    the exact same engine-neutral patterns (no lookaround, ASCII classes)
+    and checks marker counts and removed-character totals per lang."""
+    from shovel_spark.functions.textstats import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+            F.lit("-4321 from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 today."),
+        ),
+    )
+    red = seeded.select(
+        "lang",
+        F.length("text").alias("len_before"),
+        redact_pii(F.col("text")).alias("red"),
+    )
+    marker = lambda m: F.size(F.regexp_extract_all(F.col("red"), F.lit(m), F.lit(0)))  # noqa: E731
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(marker("<EMAIL>")).alias("n_emails"),
+        F.sum(marker("<PHONE>")).alias("n_phones"),
+        F.sum(marker("<IP>")).alias("n_ips"),
+        F.sum(F.col("len_before") - F.length("red")).alias("chars_removed"),
+    )

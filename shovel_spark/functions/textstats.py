@@ -79,6 +79,27 @@ def quality_score(text: Column) -> Column:
     return F.round((length_ok + word_ok + alpha_ratio + punct_ok) / 4.0, 6)
 
 
+#: Engine-neutral PII patterns (no lookaround/backrefs — valid in both
+#: Java regex and RE2, so a DuckDB oracle replays them byte-for-byte).
+#: Order matters: emails first (contain dots+digits), phones before IPs
+#: (a dotted phone would otherwise half-match the IP pattern).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed markers —
+    the C4-style scrub a web corpus gets before training. Chained
+    regexp_replace: map-only, fused into the scan, no UDF."""
+    out = text
+    for pattern, marker in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, marker)
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized text."""
     return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))

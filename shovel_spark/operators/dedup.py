@@ -78,6 +78,38 @@ def shingle_table(
     return sh
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus id, distinct k-gram overlap count)
+    for every corpus document sharing at least ``min_overlap`` distinct
+    k-word shingles with ANY benchmark document — the filter an LLM
+    training pipeline runs so eval data doesn't leak into the training set.
+
+    Shape: shingle both sides, equi-join on the shingle (the benchmark side
+    is tiny — a few thousand eval docs — so Spark broadcasts it; corpus
+    shingles stream map-side, nothing n^2), count distinct matched shingles
+    per corpus doc. Corpus text bodies never shuffle.
+    """
+    c_sh = shingle_table(corpus, text_col, id_col, k)
+    b_sh = (
+        shingle_table(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -264,6 +264,47 @@ def test_lsh_index_prefix_partitioning_bounds_dirs(spark, tmp_path):
     ]
 
 
+def test_contamination_overlap_flags_leaked_docs(spark):
+    """A corpus doc containing a benchmark doc's text verbatim must be
+    flagged with overlap >= the benchmark doc's shingle count; an unrelated
+    doc must not appear at all."""
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words here the quick brown fox jumps over the lazy dog tonight suffix"),
+            (11, "completely unrelated content about spark partitions and shuffles everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.overlap for r in dedup.contamination_overlap(corpus, bench, min_overlap=3).collect()}
+    assert 10 in got and got[10] >= 8  # the 10-token leak carries 8 3-shingles
+    assert 11 not in got
+
+
+def test_redact_pii_patterns(spark):
+    """Each PII class is replaced by its typed marker; surrounding text is
+    untouched; multiple hits in one doc all redact."""
+    from shovel_spark.functions.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and x@y.io now"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "host 192.168.0.1 and 10.0.255.7 up"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.red for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "host <IP> and <IP> up"
+    assert got[4] == "no pii here at all"
+
+
 def test_py_signature_matches_spark_expression(spark):
     """Driver-side query signing must be BIT-IDENTICAL to the Spark
     expression over every test vector, for several plane counts and seeds
