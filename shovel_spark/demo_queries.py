@@ -2440,3 +2440,72 @@ def docs_redact_pii(spark, sf_dir):
         F.sum(marker("<IP>")).alias("n_ips"),
         F.sum(F.col("len_before") - F.length("red")).alias("chars_removed"),
     )
+
+
+@_register(
+    "docs_repetition_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang,
+             1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS dup_frac,
+             greatest(len(toks) - 1, 1) AS n_bigrams
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+      FROM w
+    ),
+    top_bg AS (
+      SELECT doc_id, max(c) AS top_count FROM (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(dup_frac), 4) AS avg_dup_word_frac,
+           round(avg(top_count * 1.0 / n_bigrams), 4) AS avg_top_bigram_frac,
+           CAST(sum(CASE WHEN top_count * 1.0 / n_bigrams > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM base JOIN top_bg USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def docs_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction (pure array
+    math, map-only) and top-bigram fraction (explode + two-level count —
+    the shuffle carries (doc_id, bigram) with map-side partial counts,
+    never text). Flags docs whose most frequent bigram exceeds 5% of all
+    bigrams — the boilerplate/spam signal a training pipeline filters on.
+    Oracle replays tokenization, distinct math, and the bigram mode."""
+    from shovel_spark.functions.textstats import bigrams, duplicate_word_fraction, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    # tokens materialized behind a projection: bigrams() is a higher-order
+    # lambda, and lambdas get no CSE (an inlined split re-tokenizes per
+    # bigram — measured 6x slower)
+    tok = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("__toks"))
+    base = tok.select(
+        "doc_id", "lang",
+        duplicate_word_fraction(F.col("text")).alias("dup_frac"),
+        F.greatest(F.size(bigrams(F.col("__toks"))), F.lit(1)).alias("n_bigrams"),
+    )
+    top_bg = (
+        tok.select("doc_id", F.explode(bigrams(F.col("__toks"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"))
+    )
+    j = base.join(top_bg, "doc_id")
+    top_frac = F.col("top_count") / F.col("n_bigrams")
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dup_frac"), 4).alias("avg_dup_word_frac"),
+        F.round(F.avg(top_frac), 4).alias("avg_top_bigram_frac"),
+        F.sum(F.when(top_frac > 0.05, 1).otherwise(0)).alias("n_repetitive"),
+    )

@@ -79,6 +79,28 @@ def quality_score(text: Column) -> Column:
     return F.round((length_ok + word_ok + alpha_ratio + punct_ok) / 4.0, 6)
 
 
+def duplicate_word_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: 1 - distinct_words/words. Pure array
+    math on one tokenization — map-only, no shuffle."""
+    toks = tokens(text)
+    return 1.0 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings (clamped like shingles: a
+    1-token doc yields its single word).
+
+    Takes the token ARRAY, not raw text: expressions inside higher-order
+    lambdas get no CSE, so an inlined split() would re-tokenize the
+    document once per bigram (measured 5.6s vs 0.9s at sf0.1) — project
+    ``tokens(text)`` behind its own alias first."""
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+
+
 #: Engine-neutral PII patterns (no lookaround/backrefs — valid in both
 #: Java regex and RE2, so a DuckDB oracle replays them byte-for-byte).
 #: Order matters: emails first (contain dots+digits), phones before IPs
