@@ -2509,3 +2509,31 @@ def docs_repetition_stats(spark, sf_dir):
         F.round(F.avg(top_frac), 4).alias("avg_top_bigram_frac"),
         F.sum(F.when(top_frac > 0.05, 1).otherwise(0)).alias("n_repetitive"),
     )
+
+
+@_register(
+    "docs_hash_split",
+    """
+    WITH b AS (
+      SELECT lang,
+             ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def docs_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (sampling.hash_split, md5 family
+    so DuckDB replays the exact assignment): per-(lang, split) counts. The
+    assignment depends only on (doc_id, seed) — stable across runs,
+    partitionings, resumes, and engines; map-only, fused into the scan."""
+    from shovel_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, fractions={"train": 0.9, "val": 0.05, "test": 0.05}, seed=7, family="md5")
+    return s.groupBy("lang", "split").agg(F.count("*").alias("n"))

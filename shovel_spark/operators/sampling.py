@@ -1,0 +1,64 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+A 100 TB corpus needs REPRODUCIBLE train/val/test assignment: the split of
+a document must depend only on its id (never on partitioning, row order, or
+run count), so re-runs, resumes, and incremental ingests agree. That rules
+out df.sample/randomSplit (partition-order-sensitive) in favor of hashing
+the id into a fixed bucket space — map-only, fused into the scan.
+
+Same hash-family knob as operators/dedup.py: xxhash64 (JVM-intrinsic) for
+production, md5 for engine-neutral verification (a DuckDB oracle replays
+the exact assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space granularity: fractions are exact to 1/10000
+_BUCKETS = 10_000
+
+
+def _hash_bucket(col: Column, seed: int, family: str) -> Column:
+    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    if family == "md5":
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    elif family == "xxhash64":
+        h = F.abs(F.xxhash64(s))
+    else:
+        raise ValueError(f"unknown hash family: {family!r}")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    seed: int = 7,
+    family: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label from ``fractions`` (must sum to 1.0,
+    resolution 1/10000) by hashing ``id_col`` with ``seed`` — stable across
+    runs, partitionings, and engines (md5 family).
+
+    The same (id, seed, family) always lands in the same split, so an
+    incremental ingest extends each split consistently and a resumed job
+    cannot leak a document across the train/eval boundary.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = _hash_bucket(F.col(id_col), seed, family)
+    expr = None
+    cum = 0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += round(frac * _BUCKETS)
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

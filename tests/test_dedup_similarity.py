@@ -372,3 +372,31 @@ def test_connected_components_convergence_mode(spark):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     cc = {r.id: r.component for r in dedup.connected_components(pairs, iters=None).collect()}
     assert cc == {i: 0 for i in range(9)}
+
+
+def test_hash_split_stable_and_partition_invariant(spark):
+    """The split of an id must not depend on partitioning, row order, or
+    which family's production run it came from; fractions approximately
+    honored; xxhash64 and md5 families each internally consistent."""
+    from shovel_spark.operators.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(17)).collect()}
+    assert a == b  # partition-invariant
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / n - 0.9) < 0.02
+    assert abs(c["val"] / n - 0.05) < 0.01
+    assert abs(c["test"] / n - 0.05) < 0.01
+    # md5 family: same stability, engine-replayable assignment
+    m1 = {r.doc_id: r.split for r in hash_split(df, family="md5").collect()}
+    m2 = {r.doc_id: r.split for r in hash_split(df.repartition(5), family="md5").collect()}
+    assert m1 == m2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, fractions={"train": 0.5, "val": 0.1})
