@@ -2204,7 +2204,7 @@ def events_zorder_stats(spark, sf_dir):
       SELECT doc_id + 300000, lang, repeat('!?#$%& ', 50)
       FROM documents WHERE doc_id < 30
     ),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT doc_id, lang, text,
         round((
           (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
@@ -2216,12 +2216,12 @@ def events_zorder_stats(spark, sf_dir):
         ) / 4.0, 6) AS q
       FROM raw
     ),
-    flt AS (SELECT * FROM scored WHERE q >= 0.5),
+    flt AS MATERIALIZED (SELECT * FROM scored WHERE q >= 0.5),
     keep AS (
       SELECT min(doc_id) AS doc_id
       FROM flt GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
     ),
-    corpus AS (
+    corpus AS MATERIALIZED (
       SELECT doc_id, text FROM flt WHERE doc_id IN (SELECT doc_id FROM keep)
     ),
     {_ND_CHAIN_CTES},
@@ -2537,3 +2537,178 @@ def docs_hash_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     s = hash_split(d, fractions={"train": 0.9, "val": 0.05, "test": 0.05}, seed=7, family="md5")
     return s.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "docs_training_corpus",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 200000, lang, text FROM documents WHERE doc_id >= 20 AND doc_id < 80
+      UNION ALL
+      SELECT doc_id + 100000, lang,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id >= 20 AND doc_id < 60
+      UNION ALL
+      SELECT doc_id + 300000, lang, repeat('!?#$%& ', 50)
+      FROM documents WHERE doc_id >= 20 AND doc_id < 50
+      UNION ALL
+      SELECT doc_id + 400000, lang,
+             text || ' ' || (SELECT text FROM documents WHERE doc_id = 3)
+      FROM documents WHERE doc_id >= 20 AND doc_id < 25
+    ),
+    scored AS MATERIALIZED (
+      SELECT doc_id, lang, text,
+        round((
+          (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+          (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1)) +
+          (CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0, 6) AS q
+      FROM raw
+    ),
+    flt AS MATERIALIZED (SELECT doc_id, lang, text FROM scored WHERE q >= 0.5),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM flt GROUP BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+    ),
+    corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM flt WHERE doc_id IN (SELECT doc_id FROM keep)
+    ),
+    {_ND_CHAIN_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l0 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l0 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l1 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l1 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l2 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l2 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    deduped AS MATERIALIZED (
+      SELECT f.doc_id, f.lang, f.text FROM flt f
+      WHERE f.doc_id IN (SELECT doc_id FROM keep)
+        AND f.doc_id NOT IN (SELECT id FROM l3 WHERE id != label)
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    b_sh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM bench)
+      )
+    ),
+    d_sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM deduped)
+    ),
+    contaminated AS (
+      SELECT d_sh.doc_id FROM d_sh JOIN b_sh ON d_sh.shingle = b_sh.shingle
+      GROUP BY 1 HAVING count(DISTINCT d_sh.shingle) >= 8
+    ),
+    final AS (
+      SELECT doc_id, lang,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS red,
+             CASE WHEN ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 < 9000 THEN 'train'
+                  WHEN ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(red), '\\s+'))) AS BIGINT) AS total_tokens
+    FROM final GROUP BY 1, 2
+    """,
+)
+def docs_training_corpus(spark, sf_dir):
+    """CAPSTONE composite — the COMPLETE training-data pipeline a lab runs
+    at 100 TB, as one value-checked query: quality filter → exact dedup →
+    MinHash near-dup clustering (keep canonical) → benchmark
+    decontamination (docs < 20 are the eval set; >= 8 shared 3-shingles
+    drops the doc) → PII redaction → deterministic train/val/test split →
+    per-(lang, split) doc and token counts. The input plants every failure
+    mode: exact dups (+200000), near dups (+100000), junk (+300000), and
+    eval-set leaks (+400000). The DuckDB oracle replays all six stages.
+
+    Every stage is the library operator (textstats.quality_score,
+    dedup.exact_dedup / minhash_dedup_pairs / connected_components /
+    contamination_overlap, textstats.redact_pii, sampling.hash_split) —
+    this query is composition only. Scale shape: text bodies shuffle only
+    into the shingle joins (16-byte hashes + ids otherwise); candidates
+    come from bucket collisions; the benchmark side broadcasts; redact and
+    split are map-only."""
+    from shovel_spark.functions.textstats import quality_score, redact_pii, token_count
+    from shovel_spark.operators.dedup import (
+        connected_components,
+        contamination_overlap,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from shovel_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bench = d.filter(F.col("doc_id") < 20)
+    base = d.filter(F.col("doc_id") >= 20)
+    exact_copies = base.filter(F.col("doc_id") < 80).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    near_copies = (
+        base.filter(F.col("doc_id") < 60)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn(
+            "text", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " ")
+        )
+    )
+    junk = base.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 300000
+    ).withColumn("text", F.repeat(F.lit("!?#$%& "), 50))
+    leak_text = d.filter(F.col("doc_id") == 3).first()["text"]
+    leaks = (
+        base.filter(F.col("doc_id") < 25)
+        .withColumn("doc_id", F.col("doc_id") + 400000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + leak_text)))
+    )
+    raw = base.unionByName(exact_copies).unionByName(near_copies).unionByName(junk).unionByName(leaks)
+
+    flt = raw.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    surv = exact_dedup(flt).localCheckpoint(eager=False)
+    pairs = minhash_dedup_pairs(
+        surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8, family="md5"
+    )
+    cc = connected_components(pairs, iters=3)
+    dropped = cc.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    deduped = surv.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=False)
+
+    contaminated = contamination_overlap(deduped, bench, min_overlap=8).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    final = hash_split(
+        clean.withColumn("red", redact_pii(F.col("text"))),
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05}, seed=7, family="md5",
+    )
+    return final.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("red"))).alias("total_tokens"),
+    )
