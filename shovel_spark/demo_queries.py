@@ -1701,8 +1701,11 @@ def q4_late_ship_priority(spark, sf_dir):
     return (
         o.join(
             li,
+            # INTERVAL, not date_add: date_add truncates the timestamp to a
+            # date, silently diverging from the oracle's `+ INTERVAL 60 DAY`
+            # the moment order dates carry a time-of-day component
             (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -2383,7 +2386,7 @@ def docs_benchmark_contamination(spark, sf_dir):
     WITH seeded AS (
       SELECT doc_id, lang,
              text || ' Contact user' || doc_id ||
-             '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
              '-4321 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today.' AS text
       FROM documents
     ),
@@ -2420,8 +2423,10 @@ def docs_redact_pii(spark, sf_dir):
         F.concat(
             F.col("text"),
             F.lit(" Contact user"), F.col("doc_id").cast("string"),
-            F.lit("@example.com or 555-01"),
-            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+            # 3-3-4 digit groups so the seeded phone actually matches the
+            # PHONE pattern (a 3-4-4 seed silently never redacts)
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
             F.lit("-4321 from 10.0."),
             F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
             F.lit(".7 today."),
@@ -2491,7 +2496,7 @@ def docs_repetition_stats(spark, sf_dir):
     tok = d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("__toks"))
     base = tok.select(
         "doc_id", "lang",
-        duplicate_word_fraction(F.col("text")).alias("dup_frac"),
+        duplicate_word_fraction(F.col("__toks")).alias("dup_frac"),
         F.greatest(F.size(bigrams(F.col("__toks"))), F.lit(1)).alias("n_bigrams"),
     )
     top_bg = (

@@ -79,10 +79,10 @@ def quality_score(text: Column) -> Column:
     return F.round((length_ok + word_ok + alpha_ratio + punct_ok) / 4.0, 6)
 
 
-def duplicate_word_fraction(text: Column) -> Column:
-    """Gopher-style repetition signal: 1 - distinct_words/words. Pure array
-    math on one tokenization — map-only, no shuffle."""
-    toks = tokens(text)
+def duplicate_word_fraction(toks: Column) -> Column:
+    """Gopher-style repetition signal: 1 - distinct_words/words. Takes the
+    token ARRAY (like :func:`bigrams`) so a caller computing several
+    token-level stats tokenizes once — pure array math, map-only."""
     return 1.0 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
 
 

@@ -88,8 +88,11 @@ def contamination_overlap(
 ) -> DataFrame:
     """Benchmark decontamination: (corpus id, distinct k-gram overlap count)
     for every corpus document sharing at least ``min_overlap`` distinct
-    k-word shingles with ANY benchmark document — the filter an LLM
-    training pipeline runs so eval data doesn't leak into the training set.
+    k-word shingles with the benchmark SET (the union of all benchmark
+    documents' shingles — overlap may be spread across several eval docs;
+    strictly more conservative than a per-benchmark-doc threshold) — the
+    filter an LLM training pipeline runs so eval data doesn't leak into
+    the training set.
 
     Shape: shingle both sides, equi-join on the shingle (the benchmark side
     is tiny — a few thousand eval docs — so Spark broadcasts it; corpus

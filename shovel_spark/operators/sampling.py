@@ -43,9 +43,12 @@ def hash_split(
     resolution 1/10000) by hashing ``id_col`` with ``seed`` — stable across
     runs, partitionings, and engines (md5 family).
 
-    The same (id, seed, family) always lands in the same split, so an
-    incremental ingest extends each split consistently and a resumed job
-    cannot leak a document across the train/eval boundary.
+    The same (id, seed, family, ORDERED fractions) always lands in the
+    same split — bucket cutoffs accumulate in the mapping's insertion
+    order (deterministic for Python dicts), so reordering the entries
+    reassigns the boundary buckets. Keep the fractions mapping identical
+    across runs and an incremental ingest extends each split consistently;
+    a resumed job cannot leak a document across the train/eval boundary.
     """
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(fractions.values())

@@ -61,12 +61,21 @@ def asof_join(
     ``right_ts <= left_ts`` for the same key, or NULL when none precedes.
 
     Scale-correct distributed form — union-tag, NOT a range join: tag both
-    sides, union on (key, ts), one window pass carrying
-    ``last(value, ignorenulls=True)`` forward in time order, keep left
-    rows. One shuffle on the key columns total; a range-join formulation
-    would explode to |left|x|right| candidate pairs per key before
-    filtering. Ties (right_ts == left_ts) count as preceding — right rows
-    sort before left rows at equal timestamps.
+    sides, union on (key, ts), one window pass carrying the latest right
+    ROW forward in time order, keep left rows. One shuffle on the key
+    columns total; a range-join formulation would explode to
+    |left|x|right| candidate pairs per key before filtering. Ties
+    (right_ts == left_ts) count as preceding — right rows sort before
+    left rows at equal timestamps.
+
+    The whole right row travels as ONE struct and ``last(ignorenulls)``
+    picks it atomically — filling each column independently would stitch a
+    NULL-valued column from an older right row onto the rest of a newer
+    one (a frankensteined match pandas would never produce); a NULL inside
+    the matched row stays NULL. Several right rows sharing (key, ts)
+    resolve to the greatest carried tuple (struct ordering) — arbitrary
+    but DETERMINISTIC across runs and partitionings, which a distributed
+    engine must substitute for pandas' "last in input order".
 
     The right timestamp is also carried as ``{right_ts}{suffix}`` so
     callers can window/expire matches (e.g. drop matches older than 7
@@ -84,21 +93,19 @@ def asof_join(
     r_tag = right.select(
         *on,
         F.col(right_ts).cast("timestamp").alias("__ts"),
-        *[F.col(c).alias(f"__carry_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__carry"),
     ).withColumn("__is_left", F.lit(0))
     both = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # right rows order BEFORE left rows at equal __ts (0 < 1): an exact-tie
-    # right row is visible to the left row — the <= in "right_ts <= left_ts"
-    w = Window.partitionBy(*on).orderBy("__ts", "__is_left").rowsBetween(
+    # right row is visible to the left row — the <= in "right_ts <= left_ts";
+    # __carry as the final key makes equal-ts right rows deterministic
+    w = Window.partitionBy(*on).orderBy("__ts", "__is_left", "__carry").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    filled = both
+    filled = both.withColumn("__match", F.last("__carry", ignorenulls=True).over(w))
     for c in carried:
-        filled = filled.withColumn(
-            out_names[c], F.last(f"__carry_{c}", ignorenulls=True).over(w)
-        )
-    return (
-        filled.filter(F.col("__is_left") == 1)
-        .drop("__ts", "__is_left", *[f"__carry_{c}" for c in carried])
+        filled = filled.withColumn(out_names[c], F.col("__match")[c])
+    return filled.filter(F.col("__is_left") == 1).drop(
+        "__ts", "__is_left", "__carry", "__match"
     )

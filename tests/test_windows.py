@@ -84,6 +84,42 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert len(got) == len(left)  # every left row survives (left-join shape)
 
 
+def test_asof_join_matches_rows_atomically(spark):
+    """A NULL value in the LATEST preceding right row must come through as
+    NULL — not resurrect that column from an older right row stitched onto
+    the newer row's other columns (the whole right row matches or none of
+    it; pandas merge_asof semantics)."""
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:30:00"))], "user_id long, event_id long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 100.0, "a"),
+            (1, _ts("2024-01-01T10:00:00"), None, "b"),
+        ],
+        "user_id long, ts timestamp, price double, tag string",
+    )
+    row = windows.asof_join(ldf, rdf, on=["user_id"]).first()
+    assert row.tag == "b" and row.price is None  # NOT 100.0 from the older row
+    assert row.ts_asof == _ts("2024-01-01T10:00:00")
+
+
+def test_asof_join_equal_ts_right_rows_deterministic(spark):
+    """Two right rows sharing (key, ts): the match is the greatest carried
+    tuple — the same answer at any partitioning."""
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:05:00"))], "user_id long, event_id long, ts timestamp"
+    )
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 100.0),
+        (1, _ts("2024-01-01T10:00:00"), 200.0),
+    ]
+    for npart in (1, 2, 7):
+        rdf = spark.createDataFrame(rows, "user_id long, ts timestamp, price double").repartition(npart)
+        got = windows.asof_join(ldf, rdf, on=["user_id"]).first().price
+        assert got == 200.0  # greatest (ts, price) tuple, every time
+
+
 def test_asof_join_single_shuffle_no_range_explosion(spark):
     """The union-tag formulation plans exactly one Exchange on the key and
     never a range/nested-loop join."""
