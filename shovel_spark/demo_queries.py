@@ -2717,3 +2717,51 @@ def docs_training_corpus(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col("red"))).alias("total_tokens"),
     )
+
+
+@_register(
+    "events_resample_dense",
+    """
+    WITH b AS (
+      SELECT user_id,
+             CAST(epoch(ts) AS BIGINT) // 86400 * 86400 AS bucket,
+             value
+      FROM events WHERE user_id < 20
+    ),
+    agg AS (
+      SELECT user_id, bucket, count(*) AS n, round(sum(value), 2) AS total
+      FROM b GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 86400)) AS bucket FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(to_timestamp(g.bucket), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.total, 0.0) AS total
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+)
+def events_resample_dense(spark, sf_dir):
+    """Time-series resample with gap filling (timeseries.resample): daily
+    per-user buckets where EVERY day between a user's first and last event
+    appears — empty days as explicit zeros, which naive groupBy silently
+    drops and downstream rate/delta math then miscounts. The oracle
+    replays bucketing, the per-key bounds grid, and the zero-fill."""
+    from shovel_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = resample(
+        ev, ["user_id"], ts_col="ts", interval_seconds=86400,
+        aggs={"n": F.count("*"), "total": F.round(F.sum("value"), 2)},
+        fill={"n": 0, "total": 0.0},
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n",
+        "total",
+    )

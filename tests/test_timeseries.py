@@ -1,0 +1,42 @@
+"""operators/timeseries.resample — dense bucket grid with gap filling."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from shovel_spark.operators.timeseries import resample
+
+
+def test_resample_fills_gaps_with_zeros(spark):
+    """A key with events in buckets 0 and 2 must emit bucket 1 as an
+    explicit zero row; keys never overlap; sums land in the right bucket."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 10.0),
+        (1, datetime(2024, 1, 1, 0, 20), 5.0),
+        (1, datetime(2024, 1, 1, 2, 1), 7.0),   # hour 1 is a gap
+        (2, datetime(2024, 1, 1, 3, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample(
+        df, ["user_id"], interval_seconds=3600,
+        aggs={"n": F.count("*"), "total": F.sum("value")},
+        fill={"n": 0, "total": 0.0},
+    )
+    got = {(r.user_id, r.bucket_ts.hour): (r.n, r.total) for r in out.collect()}
+    assert got == {
+        (1, 0): (2, 15.0),
+        (1, 1): (0, 0.0),   # the gap, explicitly zero
+        (1, 2): (1, 7.0),
+        (2, 3): (1, 1.0),   # single-bucket key: exactly one row, no spill-over
+    }
+
+
+def test_resample_default_count(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0)), (1, datetime(2024, 1, 1, 0, 30))],
+        "k long, ts timestamp",
+    )
+    out = resample(df, ["k"], interval_seconds=3600).collect()
+    assert len(out) == 1 and out[0].n == 2
