@@ -113,6 +113,52 @@ def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bench_prefilter(spark, n_pages: int = 2_000_000) -> dict[str, float]:
+    """Sparser-style filter-before-parse on the JSONL decoder path: a
+    selective predicate (lang='fr', ~7% of lines) parsed the naive way
+    (from_json every line, filter after) vs raw_prefilter('"lang":"fr"')
+    dropping non-matching lines before the parse. Same result set —
+    asserted in tests; this measures the economics."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.functions.codecs import decode_json, raw_prefilter
+
+    jsonl_path = f"/tmp/shovel_bench_jsonl_{n_pages}"
+    if not os.path.exists(os.path.join(jsonl_path, "_SUCCESS")):
+        shutil.rmtree(jsonl_path, ignore_errors=True)
+        pages = spark.read.parquet(_ensure_pages(spark, n_pages))
+        pages.select(
+            F.to_json(F.struct("url", "warc_ts", "text", "lang")).alias("value")
+        ).write.mode("overwrite").text(jsonl_path)
+
+    schema = "url string, warc_ts timestamp, text string, lang string"
+
+    def build(prefilter: bool):
+        raw = spark.read.text(jsonl_path)
+        if prefilter:
+            raw = raw.filter(raw_prefilter(F.col("value"), ['"lang":"fr"']))
+        return (
+            raw.withColumn("r", decode_json(F.col("value"), schema))
+            .select("r.*")
+            .filter(F.col("lang") == "fr")
+            .agg(F.count("*"), F.sum(F.length("text")))
+        )
+
+    def run(prefilter: bool) -> float:
+        # a FRESH DataFrame per collect: re-collecting the same AQE-executed
+        # frame reuses its materialized shuffle stage and skips the scan
+        # entirely (measured 0.05s "scans" of 2.3 GB)
+        build(prefilter).collect()  # warm-up (page cache, codegen)
+        t0 = time.time()
+        build(prefilter).collect()
+        return time.time() - t0
+
+    return {
+        "jsonl_selective_parse_full": round(run(False), 3),
+        "jsonl_selective_parse_prefiltered": round(run(True), 3),
+    }
+
+
 def _bench_wide_fanout(spark, n_rows: int = 200_000, n_sinks: int = 12) -> float:
     """Fan-out economics past the default 4 concurrent writers: one cached
     frame, 12 sink write jobs with max_workers=12."""
@@ -195,6 +241,7 @@ def main_default() -> None:
     # form), so their timings measure the build. Report build-once +
     # amortized probe separately — the number a standing deployment sees.
     timings.update(_bench_ann_amortized(spark, sf_dir))
+    timings.update(_bench_prefilter(spark))
     timings["fanout_write_12_sinks"] = round(_bench_wide_fanout(spark), 3)
     spark.stop()
 

@@ -33,6 +33,27 @@ def encode_json(col: Column) -> Column:
     return F.to_json(col)
 
 
+def raw_prefilter(raw: Column, must_contain: list[str]) -> Column:
+    """Sparser-style filter-before-parse (public technique: "Filter Before
+    You Parse", VLDB 2018): a cheap raw-substring conjunction applied to
+    the UNPARSED line, discarding most non-matching input before the
+    expensive from_json.
+
+    The filter must be an OVER-approximation of the real predicate (every
+    line the predicate would keep MUST contain all the tokens — e.g.
+    predicate ``lang = 'fr'`` with token ``'"lang":"fr"'`` when the
+    producer's field order/spacing is fixed, or just ``'fr'`` when it is
+    not); the exact predicate still runs after parsing, so false positives
+    only cost a parse, never correctness. contains() compiles to a
+    codegen'd UTF8String.contains — no regex engine, ~cost of a memchr
+    scan vs a full JSON parse per line.
+    """
+    cond = F.lit(True)
+    for token in must_contain:
+        cond = cond & raw.contains(token)
+    return cond
+
+
 # --- csv (reference: src/decoders/csv.js:3-53, src/encoders/csv.js:3-53)
 
 def decode_csv(col: Column, schema: str, **options: str) -> Column:

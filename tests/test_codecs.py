@@ -285,3 +285,36 @@ def test_decode_proto_or_json_df_null_content_type_not_dropped(spark):
     )
     out = codecs.decode_proto_or_json_df(df, "v", "ct", spec, "test string").collect()
     assert len(out) == 1 and out[0].record.test == "nullct"
+
+
+def test_raw_prefilter_before_parse_equivalent_and_selective(spark):
+    """Sparser-style filter-before-parse: the prefiltered parse returns
+    EXACTLY the rows of the unfiltered parse + predicate (the raw filter
+    over-approximates; the exact predicate after from_json removes false
+    positives), and the prefilter alone keeps a strict subset of lines."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.functions.codecs import decode_json, raw_prefilter
+
+    rows = [
+        '{"user": "ann", "lang": "fr", "n": 1}',
+        '{"user": "bob", "lang": "en", "n": 2}',
+        '{"user": "cfr", "lang": "en", "n": 3}',   # 'fr' in user: false positive
+        '{"user": "dan", "lang": "fr", "n": 4}',
+        "not json at all fr",                       # false positive + parse failure
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    schema = "user string, lang string, n int"
+
+    def parsed(frame):
+        return (
+            frame.withColumn("r", decode_json(F.col("value"), schema))
+            .select("r.*")
+            .filter(F.col("lang") == "fr")
+        )
+
+    full = {(r.user, r.n) for r in parsed(df).collect()}
+    pre = df.filter(raw_prefilter(F.col("value"), ["fr"]))
+    fast = {(r.user, r.n) for r in parsed(pre).collect()}
+    assert fast == full == {("ann", 1), ("dan", 4)}
+    assert pre.count() == 4  # the 'en'-only line was dropped raw, pre-parse
