@@ -909,13 +909,25 @@ def docs_quality_stats(spark, sf_dir):
     )
 
 
+def _drop_first_word(text: "F.Column | str"):
+    """All-but-the-first whitespace token, rejoined — UNBOUNDED like the
+    oracle's ``w[2:]`` (a fixed slice length would silently truncate docs
+    longer than it)."""
+    w = F.split(F.trim(text), r"\s+")
+    return F.array_join(F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))), " ")
+
+
+def _doc_text(df, doc_id: int) -> str:
+    """One document's text, driver-side (leak-seeding helper)."""
+    return df.filter(F.col("doc_id") == doc_id).first()["text"]
+
+
 def _near_dup_corpus(spark, sf_dir):
     """Deterministic near-dups from driver data: each doc < 40 gets a copy
     (id+100000) with its first word dropped."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 40)
     edited = d.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
-        "text",
-        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " "),
+        "text", _drop_first_word("text")
     )
     return d.unionByName(edited)
 
@@ -2298,18 +2310,15 @@ def docs_clean_corpus(spark, sf_dir):
     near_copies = (
         d.filter(F.col("doc_id") < 40)
         .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn(
-            "text", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " ")
-        )
+        .withColumn("text", _drop_first_word("text"))
     )
     junk = d.filter(F.col("doc_id") < 30).withColumn(
         "doc_id", F.col("doc_id") + 300000
     ).withColumn("text", F.repeat(F.lit("!?#$%& "), 50))
     raw = d.unionByName(exact_copies).unionByName(near_copies).unionByName(junk)
 
-    flt = raw.withColumn("q", F.round(quality_score(F.col("text")), 6)).filter(
-        F.col("q") >= 0.5
-    )
+    # quality_score already rounds to 6 dp (oracle parity)
+    flt = raw.withColumn("q", quality_score(F.col("text"))).filter(F.col("q") >= 0.5)
     # survivors feed three consumers (pair generation, the cluster-drop
     # anti-join, the final agg): checkpoint once so score+dedup don't
     # re-execute per consumer
@@ -2370,11 +2379,10 @@ def docs_benchmark_contamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") < 20)
     clean = d.filter(F.col("doc_id") >= 20)
-    leak_text = d.filter(F.col("doc_id") == 3).first()["text"]
     contaminated = (
         clean.filter(F.col("doc_id") < 25)
         .withColumn("doc_id", F.col("doc_id") + 400000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" " + leak_text)))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _doc_text(d, 3))))
     )
     corpus = clean.unionByName(contaminated)
     return contamination_overlap(corpus, bench, min_overlap=3).orderBy("doc_id")
@@ -2682,22 +2690,20 @@ def docs_training_corpus(spark, sf_dir):
     near_copies = (
         base.filter(F.col("doc_id") < 60)
         .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn(
-            "text", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 2, 100000), " ")
-        )
+        .withColumn("text", _drop_first_word("text"))
     )
     junk = base.filter(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + 300000
     ).withColumn("text", F.repeat(F.lit("!?#$%& "), 50))
-    leak_text = d.filter(F.col("doc_id") == 3).first()["text"]
     leaks = (
         base.filter(F.col("doc_id") < 25)
         .withColumn("doc_id", F.col("doc_id") + 400000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" " + leak_text)))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _doc_text(d, 3))))
     )
     raw = base.unionByName(exact_copies).unionByName(near_copies).unionByName(junk).unionByName(leaks)
 
-    flt = raw.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    # quality_score already rounds to 6 dp (oracle parity)
+    flt = raw.filter(quality_score(F.col("text")) >= 0.5)
     surv = exact_dedup(flt).localCheckpoint(eager=False)
     pairs = minhash_dedup_pairs(
         surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8, family="md5"
@@ -2739,7 +2745,7 @@ def docs_training_corpus(spark, sf_dir):
       SELECT user_id, unnest(range(lo, hi + 1, 86400)) AS bucket FROM bounds
     )
     SELECT g.user_id,
-           strftime(to_timestamp(g.bucket), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           strftime(make_timestamp(g.bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
            coalesce(a.n, 0) AS n,
            coalesce(a.total, 0.0) AS total
     FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket

@@ -37,7 +37,12 @@ def resample(
     """
     aggs = aggs or {"n": F.count("*")}
     fill = fill or {"n": 0}
-    bucket = (F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("long") * interval_seconds
+    # floor, NOT cast-to-long: cast truncates toward zero, so a pre-1970
+    # timestamp would land in the bucket AFTER the event
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("long")
+        * interval_seconds
+    )
     agg = (
         df.withColumn("__b", bucket)
         .groupBy(*key_cols, "__b")

@@ -14,6 +14,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on this type (maps cannot be sort keys;
+    arrays/structs are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def sessionize(
@@ -73,9 +86,12 @@ def asof_join(
     NULL-valued column from an older right row onto the rest of a newer
     one (a frankensteined match pandas would never produce); a NULL inside
     the matched row stays NULL. Several right rows sharing (key, ts)
-    resolve to the greatest carried tuple (struct ordering) — arbitrary
-    but DETERMINISTIC across runs and partitionings, which a distributed
-    engine must substitute for pandas' "last in input order".
+    resolve to the greatest ORDERABLE carried fields (maps cannot be sort
+    keys, so they are excluded from the tiebreak — carried map columns
+    still work, but rows differing ONLY in a map at an exactly tied
+    timestamp tie arbitrarily) — otherwise arbitrary but DETERMINISTIC
+    across runs and partitionings, which a distributed engine must
+    substitute for pandas' "last in input order".
 
     The right timestamp is also carried as ``{right_ts}{suffix}`` so
     callers can window/expire matches (e.g. drop matches older than 7
@@ -99,8 +115,14 @@ def asof_join(
 
     # right rows order BEFORE left rows at equal __ts (0 < 1): an exact-tie
     # right row is visible to the left row — the <= in "right_ts <= left_ts";
-    # __carry as the final key makes equal-ts right rows deterministic
-    w = Window.partitionBy(*on).orderBy("__ts", "__is_left", "__carry").rowsBetween(
+    # the orderable carried fields as the final key make equal-ts right
+    # rows deterministic (the full struct would fail analysis if any
+    # carried column is a map)
+    r_fields = {f.name: f.dataType for f in right.schema.fields}
+    tiebreak = [
+        F.col("__carry")[c] for c in carried if _orderable(r_fields[c])
+    ]
+    w = Window.partitionBy(*on).orderBy("__ts", "__is_left", *tiebreak).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     filled = both.withColumn("__match", F.last("__carry", ignorenulls=True).over(w))

@@ -33,6 +33,18 @@ def test_resample_fills_gaps_with_zeros(spark):
     }
 
 
+def test_resample_pre_epoch_buckets_floor(spark):
+    """Negative epoch seconds must FLOOR into the bucket containing the
+    event (cast-to-long truncates toward zero and would shift pre-1970
+    events into the following bucket)."""
+    df = spark.createDataFrame(
+        [(1, datetime(1969, 12, 31, 23, 0)), (1, datetime(1970, 1, 1, 1, 0))],
+        "k long, ts timestamp",
+    )
+    out = {r.bucket_ts: r.n for r in resample(df, ["k"], interval_seconds=86400).collect()}
+    assert out == {datetime(1969, 12, 31): 1, datetime(1970, 1, 1): 1}
+
+
 def test_resample_default_count(spark):
     df = spark.createDataFrame(
         [(1, datetime(2024, 1, 1, 0, 0)), (1, datetime(2024, 1, 1, 0, 30))],

@@ -120,6 +120,21 @@ def test_asof_join_equal_ts_right_rows_deterministic(spark):
         assert got == 200.0  # greatest (ts, price) tuple, every time
 
 
+def test_asof_join_carries_unorderable_map_columns(spark):
+    """A map-typed carried column must not break the join (maps cannot be
+    sort keys, so the determinism tiebreak orders only the orderable
+    fields) — the matched map still comes through atomically."""
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:30:00"))], "user_id long, event_id long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0, {"k": "v"})],
+        "user_id long, ts timestamp, price double, props map<string,string>",
+    )
+    row = windows.asof_join(ldf, rdf, on=["user_id"]).first()
+    assert row.price == 100.0 and dict(row.props) == {"k": "v"}
+
+
 def test_asof_join_single_shuffle_no_range_explosion(spark):
     """The union-tag formulation plans exactly one Exchange on the key and
     never a range/nested-loop join."""
