@@ -2771,3 +2771,114 @@ def events_resample_dense(spark, sf_dir):
         "n",
         "total",
     )
+
+
+@_register(
+    "parse_variant_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           count(*) AS n
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    GROUP BY 1
+    """,
+)
+def parse_variant_props(spark, sf_dir):
+    """Semi-structured decode via Spark 4 VariantType (parse_json →
+    variant_get): the modern engine-native form of the JSON decoder slot —
+    the variant binary encoding is parsed ONCE and field access is a typed
+    path lookup, where get_json_object re-parses the string per extraction.
+    The variant is projected behind one alias so filter + aggregates share
+    the single parse. Oracle uses DuckDB's JSON path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_register(
+    "events_value_histogram",
+    """
+    SELECT CAST(least(greatest(floor(value / 25.0), 0), 9) AS INT) AS bin,
+           count(*) AS n, round(avg(value), 3) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (width_bucket shape): 10 bins of 25 over
+    value, clamped at the edges — one map-only bucket expression + a
+    10-row aggregate, the scan-speed distribution profile that replaces a
+    global sort at 10^12 rows."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return ev.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 3).alias("avg_value")
+    )
+
+
+@_register(
+    "docs_chunk_udtf",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+      SELECT lang,
+             CAST(start // 40 AS INT) AS chunk_idx,
+             least(50, len(toks) - start) AS n_tokens
+      FROM (
+        SELECT doc_id, lang, toks,
+               unnest(range(0, greatest(len(toks), 1), 40)) AS start
+        FROM w
+      )
+    )
+    SELECT lang, count(*) AS n_chunks,
+           round(avg(n_tokens), 3) AS avg_chunk_tokens,
+           CAST(max(chunk_idx) AS INT) AS max_chunk_idx
+    FROM chunks GROUP BY 1
+    """,
+)
+def docs_chunk_udtf(spark, sf_dir):
+    """Document chunking for LLM context windows (50-token chunks, 10-token
+    overlap → stride 40) via a Python UDTF — the table-function plugin slot
+    (Spark 4 `@udtf`, one input row → N output rows with arbitrary Python;
+    the row-multiplying sibling of the applyInPandas surface demo). A
+    native posexplode(sequence(...)) twin would be faster — the UDTF here
+    demonstrates the extension point. The oracle replays the stride walk."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.strip().split()
+            n = max(len(toks), 1)
+            for i, start in enumerate(range(0, n, 40)):
+                yield i, min(50, n - start)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("docs_chunk_src")
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_chunks,
+               round(avg(c.n_tokens), 3) AS avg_chunk_tokens,
+               max(c.chunk_idx) AS max_chunk_idx
+        FROM docs_chunk_src d, LATERAL chunk_text(d.text) c
+        GROUP BY lang
+        """
+    )
