@@ -2882,3 +2882,28 @@ def docs_chunk_udtf(spark, sf_dir):
         GROUP BY lang
         """
     )
+
+
+@_register(
+    "docs_hash_sample",
+    """
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 < 1000
+    GROUP BY 1
+    """,
+)
+def docs_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample (sampling.hash_sample, md5 family):
+    membership depends only on (doc_id, seed) — reproducible across runs
+    and partitionings, and nested across fractions (the 5% sample is a
+    subset of the 10%) — the ablation-grade downsample df.sample cannot
+    provide. Map-only filter fused into the scan."""
+    from shovel_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_sample(d, 0.10, seed=7, family="md5")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars")
+    )

@@ -102,6 +102,56 @@ def _fanout_write(
     return paths
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    small-file compaction every long-running sink needs (each micro-batch
+    / resumed bucket / concurrent writer leaves its own files; at 100 TB a
+    sink accumulating millions of KB-scale files throttles every later
+    scan on file-open overhead and NameNode/listing pressure).
+
+    File count is sized from the directory's actual on-disk bytes (not row
+    counts — compression ratios vary), the rewrite goes through a temp
+    directory and an atomic rename so a crash mid-compaction never leaves
+    the sink truncated, and ``partition_cols`` preserves a partitioned
+    layout (repartitioned by partition values so each directory gets few
+    files). Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob
+    import shutil
+
+    def _parquet_files(p: str) -> list[str]:
+        return glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+
+    before = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(path)
+    if partition_cols:
+        writer = df.repartition(n_files, *partition_cols).write.partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write
+    writer.mode("overwrite").parquet(tmp)
+
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parquet_files(path)),
+        "bytes": total_bytes,
+    }
+
+
 def write_sinks(
     routed: DataFrame,
     out_dir: str,

@@ -31,6 +31,25 @@ def _hash_bucket(col: Column, seed: int, family: str) -> Column:
     return F.pmod(h, F.lit(_BUCKETS))
 
 
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash (resolution
+    1/10000) — the reproducible downsample for corpus ablations: the same
+    (id, seed, family) is always in or out, regardless of partitioning or
+    cluster size, and samples at different fractions NEST (a row in the 5%
+    sample is also in the 10% sample — same hash, higher cutoff), unlike
+    df.sample whose membership reshuffles per run."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff = round(fraction * _BUCKETS)
+    return df.filter(_hash_bucket(F.col(id_col), seed, family) < cutoff)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -230,3 +230,32 @@ def test_gzip_jsonl_input_through_decoder_slot(spark, tmp_path):
     assert {(r.status, r["count"]) for r in via_gz} == {
         (r.status, r["count"]) for r in direct
     }
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """64 tiny files compact to a handful; rows and values survive exactly;
+    a partitioned layout stays partitioned."""
+    from shovel_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "many")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(64).write.parquet(path)
+    before_sum = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+
+    stats = compact_parquet(spark, path, target_file_mb=256)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    after = spark.read.parquet(path)
+    assert after.count() == 50_000
+    assert after.agg(F.sum("v")).first()[0] == before_sum
+
+    # partitioned layout: compacted per partition directory
+    ppath = str(tmp_path / "parts")
+    df.repartition(32).write.partitionBy("part").parquet(ppath)
+    stats = compact_parquet(spark, ppath, target_file_mb=256, partition_cols=["part"])
+    assert stats["files_after"] < stats["files_before"]
+    got = spark.read.parquet(ppath)
+    assert got.count() == 50_000
+    assert sorted(r.part for r in got.select("part").distinct().collect()) == [0, 1, 2, 3]
