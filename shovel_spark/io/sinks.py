@@ -120,6 +120,13 @@ def compact_parquet(
     the sink truncated, and ``partition_cols`` preserves a partitioned
     layout (repartitioned by partition values so each directory gets few
     files). Returns {"files_before", "files_after", "bytes"}.
+
+    Swap semantics by filesystem: directory rename is atomic on POSIX and
+    HDFS (this implementation targets those); object stores have no atomic
+    rename — there, compaction belongs to the table format (Iceberg
+    rewrite_data_files commits it as a snapshot; see io/catalog.py). The
+    driver-side file listing is metadata-only and fine up to millions of
+    files; beyond that, the table format's manifest is the listing.
     """
     import glob
     import shutil
