@@ -2832,8 +2832,9 @@ def events_value_histogram(spark, sf_dir):
     "docs_chunk_udtf",
     r"""
     WITH w AS (
-      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
-      FROM documents WHERE doc_id < 100
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL
     ),
     chunks AS (
       SELECT lang,
@@ -2857,7 +2858,11 @@ def docs_chunk_udtf(spark, sf_dir):
     (Spark 4 `@udtf`, one input row → N output rows with arbitrary Python;
     the row-multiplying sibling of the applyInPandas surface demo). A
     native posexplode(sequence(...)) twin would be faster — the UDTF here
-    demonstrates the extension point. The oracle replays the stride walk."""
+    demonstrates the extension point. The oracle replays the stride walk.
+    Engine parity pinned down: Python str.split() == regexp '\\s+' split
+    with empties filtered (any whitespace, no empty tokens), and NULL text
+    is excluded on BOTH sides (the UDTF emits nothing; SQL least/greatest
+    silently skip NULLs and would fabricate a 50-token chunk)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, n_tokens int")
@@ -2865,13 +2870,15 @@ def docs_chunk_udtf(spark, sf_dir):
         def eval(self, text: str):
             if text is None:
                 return
-            toks = text.strip().split()
+            toks = text.split()
             n = max(len(toks), 1)
             for i, start in enumerate(range(0, n, 40)):
                 yield i, min(50, n - start)
 
     spark.udtf.register("chunk_text", ChunkText)
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
     d.createOrReplaceTempView("docs_chunk_src")
     return spark.sql(
         """

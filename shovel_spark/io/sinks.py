@@ -108,46 +108,75 @@ def compact_parquet(
     target_file_mb: int = 256,
     partition_cols: list[str] | None = None,
 ) -> dict[str, int]:
-    """Rewrite a parquet directory into ~``target_file_mb`` files — the
-    small-file compaction every long-running sink needs (each micro-batch
-    / resumed bucket / concurrent writer leaves its own files; at 100 TB a
-    sink accumulating millions of KB-scale files throttles every later
-    scan on file-open overhead and NameNode/listing pressure).
+    """Rewrite a LOCAL parquet directory into ~``target_file_mb`` files —
+    the small-file compaction every long-running sink needs (each
+    micro-batch / resumed bucket / concurrent writer leaves its own files;
+    a sink accumulating millions of KB-scale files throttles every later
+    scan on file-open overhead and listing pressure).
 
-    File count is sized from the directory's actual on-disk bytes (not row
-    counts — compression ratios vary), the rewrite goes through a temp
-    directory and an atomic rename so a crash mid-compaction never leaves
-    the sink truncated, and ``partition_cols`` preserves a partitioned
-    layout (repartitioned by partition values so each directory gets few
-    files). Returns {"files_before", "files_after", "bytes"}.
+    Sizing: file count comes from the directory's actual on-disk bytes
+    (not row counts — compression ratios vary), and ``maxRecordsPerFile``
+    (bytes-per-row estimated from the same footer-level metadata) rolls
+    files at the target size INSIDE each written task too — so a
+    partitioned layout (one write task per partition value) still honors
+    the target for oversized partition values, at parallelism = number of
+    partition values.
 
-    Swap semantics by filesystem: directory rename is atomic on POSIX and
-    HDFS (this implementation targets those); object stores have no atomic
-    rename — there, compaction belongs to the table format (Iceberg
-    rewrite_data_files commits it as a snapshot; see io/catalog.py). The
-    driver-side file listing is metadata-only and fine up to millions of
-    files; beyond that, the table format's manifest is the listing.
+    Swap semantics (documented, not glossed): the swap is two directory
+    renames — old data aside to ``<path>__precompact``, new data into
+    place. Each rename is atomic, the pair is not: a crash in the
+    microseconds between them leaves the sink momentarily absent — which
+    is why the NEXT call self-heals (restores ``__precompact`` before
+    doing anything else) and the old data is never deleted until the new
+    directory is in place. This implementation is deliberately
+    local-filesystem-only (driver-side listing + os.rename) and REFUSES
+    remote URIs: on HDFS/object stores compaction belongs to the table
+    format (Iceberg rewrite_data_files commits it as one snapshot; see
+    io/catalog.py) — a path-string port of this function would be neither
+    atomic nor restartable there.
+
+    Returns {"files_before", "files_after", "bytes"}.
     """
     import glob
     import shutil
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet is local-filesystem-only (got {path!r}); on "
+            "HDFS/object stores use the table format's compaction "
+            "(Iceberg rewrite_data_files)"
+        )
+    path = path.removeprefix("file://").rstrip("/")
+    tmp, old = path + "__compacting", path + "__precompact"
+
+    # self-heal: a crash between the two renames of a previous run left
+    # the data at __precompact and nothing at path — restore it first
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
 
     def _parquet_files(p: str) -> list[str]:
         return glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
 
     before = _parquet_files(path)
+    if not before:
+        raise ValueError(f"nothing to compact: no parquet files under {path!r}")
     total_bytes = sum(os.path.getsize(f) for f in before)
-    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    n_files = max(1, round(total_bytes / target_bytes))
 
-    tmp = path.rstrip("/") + "__compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(path)
+    n_rows = df.count()  # footer metadata only — no data scan
+    bytes_per_row = max(1, total_bytes // max(n_rows, 1))
+    max_records = max(1, target_bytes // bytes_per_row)
     if partition_cols:
-        writer = df.repartition(n_files, *partition_cols).write.partitionBy(*partition_cols)
+        # one task per partition value keeps each directory's file count
+        # minimal; maxRecordsPerFile rolls oversized values at the target
+        writer = df.repartition(*partition_cols).write.partitionBy(*partition_cols)
     else:
         writer = df.repartition(n_files).write
-    writer.mode("overwrite").parquet(tmp)
+    writer.option("maxRecordsPerFile", max_records).mode("overwrite").parquet(tmp)
 
-    old = path.rstrip("/") + "__precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -43,11 +43,18 @@ def hash_sample(
     (id, seed, family) is always in or out, regardless of partitioning or
     cluster size, and samples at different fractions NEST (a row in the 5%
     sample is also in the 10% sample — same hash, higher cutoff), unlike
-    df.sample whose membership reshuffles per run."""
+    df.sample whose membership reshuffles per run.
+
+    NULL ids are EXCLUDED: a row without an identity has no deterministic
+    sample membership (hashing would drop every NULL row into one shared
+    bucket — a nominal 10% sample keeping 100% or 0% of them)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cutoff = round(fraction * _BUCKETS)
-    return df.filter(_hash_bucket(F.col(id_col), seed, family) < cutoff)
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & (_hash_bucket(F.col(id_col), seed, family) < cutoff)
+    )
 
 
 def hash_split(
@@ -68,6 +75,10 @@ def hash_split(
     reassigns the boundary buckets. Keep the fractions mapping identical
     across runs and an incremental ingest extends each split consistently;
     a resumed job cannot leak a document across the train/eval boundary.
+
+    NULL ids all hash to one shared bucket (concat_ws skips NULLs) and so
+    land in one split together — deterministic, but filter them out (or
+    assign ids) upstream if that block matters.
     """
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(fractions.values())

@@ -259,3 +259,29 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(ppath)
     assert got.count() == 50_000
     assert sorted(r.part for r in got.select("part").distinct().collect()) == [0, 1, 2, 3]
+
+
+def test_compact_parquet_edges(spark, tmp_path):
+    """Remote URIs are refused, an empty directory raises a clear error
+    (not a Spark stack trace), and a crash between the two swap renames
+    self-heals on the next call."""
+    import os
+    import pytest
+
+    from shovel_spark.io.sinks import compact_parquet
+
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_parquet(spark, "s3a://bucket/sink")
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_parquet(spark, str(empty))
+
+    p = str(tmp_path / "heal")
+    spark.range(5000).repartition(8).write.parquet(p)
+    os.rename(p, p + "__precompact")  # the crash-between-renames state
+    stats = compact_parquet(spark, p)  # must restore, then compact
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(p).count() == 5000
+    assert not os.path.exists(p + "__precompact")
