@@ -2914,3 +2914,174 @@ def docs_hash_sample(spark, sf_dir):
     return s.groupBy("lang").agg(
         F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars")
     )
+
+
+def _pr_iter_ctes(n_iters: int) -> str:
+    """DuckDB CTE replay of pagerank iterations (operators/graph.py): same
+    float op order as the Spark expression so doubles agree bit-for-bit up
+    to sum-order noise (final masses rounded to 6dp)."""
+    parts = []
+    for i in range(1, n_iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"""
+    d{i} AS (
+      SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dmass
+      FROM {p} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+      FROM edges e JOIN {p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+      GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+             + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d{i}.dmass / nn.n) AS rank
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} c ON nd.node = c.node
+    )"""
+        )
+    return ",".join(parts)
+
+
+@_register(
+    "docs_pagerank_mass",
+    f"""
+    WITH params AS (SELECT count(*) AS n FROM documents),
+    edges AS MATERIALIZED (
+      SELECT doc_id AS src, (doc_id * 31 + j * 17) % n AS dst
+      FROM documents CROSS JOIN params CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+      WHERE doc_id % 10 != 0 AND (doc_id * 31 + j * 17) % n != doc_id
+    ),
+    outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes CROSS JOIN nn
+    ),
+    {_pr_iter_ctes(3)}
+    SELECT d.source, count(*) AS n_nodes, round(sum(r.rank), 6) AS mass
+    FROM r3 r JOIN documents d ON r.node = d.doc_id
+    GROUP BY 1
+    """,
+)
+def docs_pagerank_mass(spark, sf_dir):
+    """Link-graph PageRank (operators/graph.py): a deterministic synthetic
+    link graph over the corpus (3 out-links per page via modular hop;
+    every 10th page dangling), 3 power iterations with uniform dangling
+    redistribution, then rank mass per source domain — the link-authority
+    prior a web-corpus sampler weights by. The oracle replays every
+    iteration as a CTE with the identical float op order."""
+    from shovel_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n1 = d.agg(F.count("*").alias("__n"))
+    edges = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("doc_id") * 31 + j * 17, F.col("__n"))
+                        for j in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.join(d.select("doc_id", "source"), ranks["node"] == F.col("doc_id"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_nodes"), F.round(F.sum("rank"), 6).alias("mass"))
+    )
+
+
+@_register(
+    "docs_quota_sample",
+    """
+    SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5('7:' || doc_id), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 7
+    GROUP BY 1
+    """,
+)
+def docs_quota_sample(spark, sf_dir):
+    """Per-domain quota cap (sampling.quota_sample, md5 family): at most 7
+    docs per source, chosen by id-hash order — deterministic domain
+    balancing (no hot domain dominates the mix). id_sum proves the exact
+    kept ROW SET matches, not just the counts. Compiles to WindowGroupLimit
+    (per-partition top-k before the shuffle)."""
+    from shovel_spark.operators.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    q = quota_sample(d, "source", 7, family="md5")
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@_register(
+    "docs_pack_shards",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 % 8 AS bucket,
+             md5('7:' || doc_id) AS ord_key,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT bucket, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY bucket ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM toks
+    ),
+    per AS (
+      SELECT bucket, CAST(floor(cb / 2000) AS BIGINT) AS seq,
+             count(*) AS nd, sum(n_tok) AS tk
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT bucket AS shard_bucket, count(*) AS n_shards,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST(max(tk) AS BIGINT) AS max_shard_tokens
+    FROM per GROUP BY 1
+    """,
+)
+def docs_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (sampling.pack_shards, md5 family):
+    concatenate-then-chunk into ~2000-token training shards inside 8 hash
+    buckets, then per-bucket shard stats — the deterministic shard layout a
+    trainer consumes. Pure integer math: exact cross-engine parity. The
+    only window is per-bucket (num_buckets bounds the widest sort at
+    100 TB)."""
+    from shovel_spark.functions.textstats import token_count
+    from shovel_spark.operators.sampling import pack_shards
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text")).cast("long")
+    )
+    p = pack_shards(d, "n_tok", budget=2000, num_buckets=8, family="md5")
+    per = p.groupBy("shard_bucket", "shard_seq").agg(
+        F.count("*").alias("nd"), F.sum("n_tok").alias("tk")
+    )
+    return per.groupBy("shard_bucket").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("nd").alias("n_docs"),
+        F.sum("tk").alias("total_tokens"),
+        F.max("tk").alias("max_shard_tokens"),
+    )

@@ -13,7 +13,7 @@ the exact assignment).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket space granularity: fractions are exact to 1/10000
@@ -95,3 +95,98 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def _hash_order(col: Column, seed: int, family: str) -> Column:
+    """Full-width deterministic sort key for quota/packing order (the bucket
+    hash above is only mod-10000 — too coarse to order rows)."""
+    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    if family == "md5":
+        # the hex string itself: lexicographic order is engine-neutral
+        return F.md5(s)
+    if family == "xxhash64":
+        return F.xxhash64(s)
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    n_per_key: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Keep at most ``n_per_key`` rows per key, chosen by id-hash order —
+    the domain-balancing cap a web corpus needs (no single hot domain may
+    dominate the training mix). Membership depends only on (key's row ids,
+    seed, family): stable across runs, partitionings, and engines (md5),
+    and monotone in ``n_per_key`` (the 5-per-key sample contains the
+    3-per-key sample — same ordering, longer prefix), unlike df.sample.
+
+    Scale shape: a rank-limit window — Spark rewrites ``row_number() <= k``
+    into WindowGroupLimit, a per-partition top-k BEFORE the shuffle, so a
+    hot domain ships at most k·partitions rows, never its full row set.
+    NULL ids are excluded (no identity → no deterministic membership).
+    """
+    if n_per_key < 0:
+        raise ValueError(f"n_per_key must be >= 0, got {n_per_key}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_hash_order(F.col(id_col), seed, family).asc(), F.col(id_col).asc())
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_key)
+        .drop("__rn")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+    seed: int = 7,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Assign every row to a training shard of ~``budget`` tokens:
+    concatenate-then-chunk within hash buckets. Row order inside a bucket is
+    id-hash order; a row whose preceding cumulative token count is in
+    [k·budget, (k+1)·budget) lands in within-bucket shard k — the standard
+    deterministic packing for fixed-token training shards (each shard's
+    total is in (budget - max_doc, budget + max_doc)).
+
+    Adds ``shard_bucket`` (hash bucket), ``shard_seq`` (within-bucket shard
+    index from 0), ``shard_id`` (global = bucket·10^9 + seq). Assignment
+    depends only on (ids, tokens, seed, family, num_buckets) — never on
+    partitioning — so re-runs and resumes produce identical shards.
+
+    Scale shape: the only window is partitioned by ``shard_bucket`` —
+    num_buckets bounds the widest sort; at 100 TB set num_buckets so each
+    bucket is a few GB (e.g. 10^5 buckets), giving full-cluster parallelism
+    with no global sort and no driver state. NULL ids are excluded.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be > 0, got {num_buckets}")
+    idc = F.col(id_col)
+    bucket = F.pmod(_hash_bucket(idc, seed, family), F.lit(num_buckets))
+    w = (
+        Window.partitionBy("shard_bucket")
+        .orderBy(_hash_order(idc, seed, family).asc(), idc.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    seq = F.floor(cum_before / F.lit(budget)).cast("long")
+    return (
+        df.filter(idc.isNotNull())
+        .withColumn("shard_bucket", bucket.cast("long"))
+        .withColumn("shard_seq", seq)
+        .withColumn(
+            "shard_id", F.col("shard_bucket") * F.lit(1_000_000_000) + F.col("shard_seq")
+        )
+    )

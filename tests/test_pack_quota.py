@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shovel_spark.operators.sampling import pack_shards, quota_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 5}", 10 + (i * 37) % 90) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+
+# --- quota_sample ---------------------------------------------------------
+
+
+def test_quota_caps_every_key(spark, docs):
+    out = quota_sample(docs, "source", 7).groupBy("source").count().collect()
+    assert len(out) == 5
+    assert all(r["count"] == 7 for r in out)
+
+
+def test_quota_keeps_small_keys_whole(spark, docs):
+    out = quota_sample(docs, "source", 1000)
+    assert out.count() == 200
+
+
+def test_quota_monotone_nesting(spark, docs):
+    small = {r["doc_id"] for r in quota_sample(docs, "source", 3).collect()}
+    big = {r["doc_id"] for r in quota_sample(docs, "source", 5).collect()}
+    assert small < big
+
+
+def test_quota_deterministic_across_partitioning(spark, docs):
+    a = {r["doc_id"] for r in quota_sample(docs, "source", 4).collect()}
+    b = {r["doc_id"] for r in quota_sample(docs.repartition(13), "source", 4).collect()}
+    assert a == b
+
+
+def test_quota_md5_family_and_null_ids(spark):
+    rows = [(None, "a"), (1, "a"), (2, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_sample(df, "source", 2, family="md5").collect()
+    ids = {r["doc_id"] for r in out}
+    assert None not in ids and 3 in ids and len(ids) == 3
+
+
+def test_quota_window_group_limit_in_plan(spark, docs):
+    """row_number() <= k must compile to WindowGroupLimit (per-partition
+    top-k before the shuffle) — the property that makes a hot domain safe."""
+    plan = (
+        quota_sample(docs, "source", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+# --- pack_shards ----------------------------------------------------------
+
+
+def test_pack_assigns_every_row_once(spark, docs):
+    out = pack_shards(docs, "n_tok", budget=500, num_buckets=4)
+    assert out.count() == 200
+    assert out.select("doc_id").distinct().count() == 200
+
+
+def test_pack_shard_totals_bounded(spark, docs):
+    out = pack_shards(docs, "n_tok", budget=500, num_buckets=4)
+    per_shard = out.groupBy("shard_bucket", "shard_seq").agg(
+        F.sum("n_tok").alias("tok")
+    )
+    max_doc = 99  # largest n_tok in the fixture
+    rows = per_shard.collect()
+    # every shard except possibly the last of its bucket reaches the budget
+    last = {
+        r["shard_bucket"]: r["max_seq"]
+        for r in per_shard.groupBy("shard_bucket").agg(F.max("shard_seq").alias("max_seq")).collect()
+    }
+    for r in rows:
+        assert r["tok"] < 500 + max_doc
+        if r["shard_seq"] < last[r["shard_bucket"]]:
+            assert r["tok"] >= 500 - max_doc
+
+
+def test_pack_seq_contiguous_from_zero(spark, docs):
+    out = pack_shards(docs, "n_tok", budget=300, num_buckets=4)
+    for b in out.select("shard_bucket").distinct().collect():
+        seqs = sorted(
+            r["shard_seq"]
+            for r in out.filter(F.col("shard_bucket") == b[0])
+            .select("shard_seq")
+            .distinct()
+            .collect()
+        )
+        assert seqs == list(range(len(seqs)))
+
+
+def test_pack_deterministic_across_partitioning(spark, docs):
+    a = {(r["doc_id"], r["shard_id"]) for r in pack_shards(docs, "n_tok", 400).collect()}
+    b = {
+        (r["doc_id"], r["shard_id"])
+        for r in pack_shards(docs.repartition(11), "n_tok", 400).collect()
+    }
+    assert a == b
+
+
+def test_pack_validates_args(spark, docs):
+    with pytest.raises(ValueError):
+        pack_shards(docs, "n_tok", budget=0)
+    with pytest.raises(ValueError):
+        pack_shards(docs, "n_tok", budget=10, num_buckets=0)
