@@ -2919,7 +2919,7 @@ def docs_hash_sample(spark, sf_dir):
 def _pr_iter_ctes(n_iters: int) -> str:
     """DuckDB CTE replay of pagerank iterations (operators/graph.py): same
     float op order as the Spark expression so doubles agree bit-for-bit up
-    to sum-order noise (final masses rounded to 6dp)."""
+    to sum-order noise (final masses rounded to 4dp)."""
     parts = []
     for i in range(1, n_iters + 1):
         p = f"r{i - 1}"
@@ -2962,7 +2962,7 @@ def _pr_iter_ctes(n_iters: int) -> str:
       SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes CROSS JOIN nn
     ),
     {_pr_iter_ctes(3)}
-    SELECT d.source, count(*) AS n_nodes, round(sum(r.rank), 6) AS mass
+    SELECT d.source, count(*) AS n_nodes, round(sum(r.rank), 4) AS mass
     FROM r3 r JOIN documents d ON r.node = d.doc_id
     GROUP BY 1
     """,
@@ -2998,7 +2998,7 @@ def docs_pagerank_mass(spark, sf_dir):
     return (
         ranks.join(d.select("doc_id", "source"), ranks["node"] == F.col("doc_id"))
         .groupBy("source")
-        .agg(F.count("*").alias("n_nodes"), F.round(F.sum("rank"), 6).alias("mass"))
+        .agg(F.count("*").alias("n_nodes"), F.round(F.sum("rank"), 4).alias("mass"))
     )
 
 
@@ -3037,7 +3037,7 @@ def docs_quota_sample(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id,
-             ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 10000 % 8 AS bucket,
+             ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
              md5('7:' || doc_id) AS ord_key,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
       FROM documents

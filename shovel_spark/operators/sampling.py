@@ -20,15 +20,25 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def _hash_bucket(col: Column, seed: int, family: str) -> Column:
-    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+def _seed_str(col: Column, seed: int) -> Column:
+    """The '{seed}:{id}' wire string every hash below (and every DuckDB
+    oracle replaying it) is defined over — one definition only."""
+    return F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+
+
+def _hash_long(col: Column, seed: int, family: str) -> Column:
+    """Full-width non-negative hash of (seed, id) — md5 (engine-neutral,
+    DuckDB: ('0x' || substr(md5(...), 1, 15))::BIGINT) or xxhash64."""
+    s = _seed_str(col, seed)
     if family == "md5":
-        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    elif family == "xxhash64":
-        h = F.abs(F.xxhash64(s))
-    else:
-        raise ValueError(f"unknown hash family: {family!r}")
-    return F.pmod(h, F.lit(_BUCKETS))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    if family == "xxhash64":
+        return F.abs(F.xxhash64(s))
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
+def _hash_bucket(col: Column, seed: int, family: str) -> Column:
+    return F.pmod(_hash_long(col, seed, family), F.lit(_BUCKETS))
 
 
 def hash_sample(
@@ -100,12 +110,11 @@ def hash_split(
 def _hash_order(col: Column, seed: int, family: str) -> Column:
     """Full-width deterministic sort key for quota/packing order (the bucket
     hash above is only mod-10000 — too coarse to order rows)."""
-    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
     if family == "md5":
         # the hex string itself: lexicographic order is engine-neutral
-        return F.md5(s)
+        return F.md5(_seed_str(col, seed))
     if family == "xxhash64":
-        return F.xxhash64(s)
+        return F.xxhash64(_seed_str(col, seed))
     raise ValueError(f"unknown hash family: {family!r}")
 
 
@@ -155,38 +164,50 @@ def pack_shards(
     """Assign every row to a training shard of ~``budget`` tokens:
     concatenate-then-chunk within hash buckets. Row order inside a bucket is
     id-hash order; a row whose preceding cumulative token count is in
-    [k·budget, (k+1)·budget) lands in within-bucket shard k — the standard
-    deterministic packing for fixed-token training shards (each shard's
-    total is in (budget - max_doc, budget + max_doc)).
+    [k·budget, (k+1)·budget) lands in budget-slot k, and slots are then
+    dense-renumbered so ``shard_seq`` runs 0,1,2,… with no gaps even when a
+    single oversized document (> budget tokens) consumes several slots.
+    Each shard's token total is in (budget - max_doc, budget + max_doc);
+    NULL token counts occupy a slot position but add 0 to the accounting.
 
-    Adds ``shard_bucket`` (hash bucket), ``shard_seq`` (within-bucket shard
-    index from 0), ``shard_id`` (global = bucket·10^9 + seq). Assignment
+    Adds ``shard_bucket`` (hash bucket), ``shard_seq`` (dense within-bucket
+    shard index from 0), ``shard_id`` (global = bucket·10^12 + seq; seq
+    bounded by 10^12 — 2·10^15 tokens per bucket at budget 2000 — before
+    ids could collide, far past any sane num_buckets choice). Assignment
     depends only on (ids, tokens, seed, family, num_buckets) — never on
     partitioning — so re-runs and resumes produce identical shards.
 
-    Scale shape: the only window is partitioned by ``shard_bucket`` —
-    num_buckets bounds the widest sort; at 100 TB set num_buckets so each
-    bucket is a few GB (e.g. 10^5 buckets), giving full-cluster parallelism
-    with no global sort and no driver state. NULL ids are excluded.
+    Scale shape: buckets come from the FULL-WIDTH id hash mod num_buckets
+    (no intermediate coarse bucket space), so any num_buckets is uniform;
+    the only windows are per-bucket (the dense renumber reuses the same
+    partitioning — one sort, no extra shuffle). At 100 TB set num_buckets
+    so each bucket is a few GB (e.g. 10^5 buckets), giving full-cluster
+    parallelism with no global sort and no driver state. NULL ids are
+    excluded.
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     if num_buckets <= 0:
         raise ValueError(f"num_buckets must be > 0, got {num_buckets}")
     idc = F.col(id_col)
-    bucket = F.pmod(_hash_bucket(idc, seed, family), F.lit(num_buckets))
-    w = (
+    bucket = F.pmod(_hash_long(idc, seed, family), F.lit(num_buckets))
+    order = [_hash_order(idc, seed, family).asc(), idc.asc()]
+    w_cum = (
         Window.partitionBy("shard_bucket")
-        .orderBy(_hash_order(idc, seed, family).asc(), idc.asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
-    seq = F.floor(cum_before / F.lit(budget)).cast("long")
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w_cum), F.lit(0)).cast("long")
+    slot = F.floor(cum_before / F.lit(budget)).cast("long")
+    w_dense = Window.partitionBy("shard_bucket").orderBy(F.col("__slot"))
     return (
         df.filter(idc.isNotNull())
         .withColumn("shard_bucket", bucket.cast("long"))
-        .withColumn("shard_seq", seq)
+        .withColumn("__slot", slot)
+        .withColumn("shard_seq", (F.dense_rank().over(w_dense) - 1).cast("long"))
+        .drop("__slot")
         .withColumn(
-            "shard_id", F.col("shard_bucket") * F.lit(1_000_000_000) + F.col("shard_seq")
+            "shard_id",
+            F.col("shard_bucket") * F.lit(1_000_000_000_000) + F.col("shard_seq"),
         )
     )

@@ -112,3 +112,23 @@ def test_pack_validates_args(spark, docs):
         pack_shards(docs, "n_tok", budget=0)
     with pytest.raises(ValueError):
         pack_shards(docs, "n_tok", budget=10, num_buckets=0)
+
+
+def test_pack_seq_dense_with_oversized_docs(spark):
+    """A doc bigger than the budget consumes several budget slots but must
+    NOT leave gaps in shard_seq (dense renumber)."""
+    rows = [(1, 5000), (2, 10), (3, 10), (4, 5000), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_shards(df, "n_tok", budget=2000, num_buckets=1)
+    seqs = sorted(r["shard_seq"] for r in out.select("shard_seq").distinct().collect())
+    assert seqs == list(range(len(seqs)))
+
+
+def test_pack_bucket_uses_full_hash(spark):
+    """num_buckets beyond the old mod-10000 space must still populate more
+    than 10000 distinct buckets' worth of id space uniformly-ish."""
+    df = spark.range(5000).select(F.col("id").alias("doc_id"), F.lit(1).alias("n_tok"))
+    out = pack_shards(df, "n_tok", budget=10, num_buckets=40_000)
+    n_buckets = out.select("shard_bucket").distinct().count()
+    assert n_buckets > 4000  # ~4400 expected from 5000 balls in 40000 bins
+    assert out.agg(F.max("shard_bucket")).first()[0] > 10_000
