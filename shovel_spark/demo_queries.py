@@ -3085,3 +3085,90 @@ def docs_pack_shards(spark, sf_dir):
         F.sum("tk").alias("total_tokens"),
         F.max("tk").alias("max_shard_tokens"),
     )
+
+
+_URL_ORACLE_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+@_register(
+    "docs_canonical_urls",
+    f"""
+    WITH raw AS (
+      SELECT source,
+             'https://' || source || '.example.com/p/' || doc_id
+               || '/?b=2&a=1&utm_source=feed' AS u
+      FROM documents
+      UNION ALL
+      SELECT source,
+             CASE WHEN doc_id % 50 = 0 THEN 'not a url'
+                  ELSE 'HTTPS://' || source || '.EXAMPLE.com:443/p/' || doc_id
+                       || '?a=1&fbclid=' || doc_id || '&b=2#x' END AS u
+      FROM documents
+    ),
+    parsed AS MATERIALIZED (
+      SELECT source, u,
+             regexp_replace(lower(regexp_extract(u, '{_URL_ORACLE_RE}', 2)),
+                            ':(80|443)$', '') AS host,
+             lower(regexp_extract(u, '{_URL_ORACLE_RE}', 1)) AS scheme,
+             regexp_replace(regexp_extract(u, '{_URL_ORACLE_RE}', 3), '/$', '') AS path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(u, '{_URL_ORACLE_RE}', 4), '&'),
+               p -> p != '' AND NOT (starts_with(p, 'utm_')
+                    OR starts_with(p, 'fbclid=') OR p = 'fbclid'
+                    OR starts_with(p, 'gclid=') OR p = 'gclid'
+                    OR starts_with(p, 'msclkid=') OR p = 'msclkid'
+                    OR starts_with(p, 'mc_eid=') OR p = 'mc_eid'
+                    OR starts_with(p, '_ga=') OR p = '_ga'))), '&'), '') AS q
+      FROM raw
+    ),
+    canon AS MATERIALIZED (
+      SELECT source,
+             CASE WHEN host = '' THEN NULL
+                  WHEN q = '' THEN scheme || '://' || host || path
+                  ELSE scheme || '://' || host || path || '?' || q END AS c,
+             array_to_string(list_reverse(string_split(host, '.')), '.') AS s
+      FROM parsed
+    )
+    SELECT source,
+           count(*) AS n_raw,
+           CAST(count(CASE WHEN c IS NULL THEN 1 END) AS BIGINT) AS n_bad,
+           count(DISTINCT c) AS n_canon,
+           count(DISTINCT CASE WHEN c IS NOT NULL THEN s END) AS n_surt,
+           CAST(sum(length(c)) AS BIGINT) AS len_sum
+    FROM canon GROUP BY 1
+    """,
+)
+def docs_canonical_urls(spark, sf_dir):
+    """URL canonicalization (functions/urls.py): two noisy crawl variants of
+    every page (tracking params, mixed-case host, default port, fragment,
+    trailing slash — plus some unparseable rows) must collapse to ONE
+    canonical key per page; per-source raw/bad/canonical/SURT counts and a
+    length checksum prove the exact canonical strings match. Map-only
+    codegen expressions — the first dedup stage of a crawl fuses into the
+    scan."""
+    from shovel_spark.functions.urls import canonical_url, surt_host
+
+    d = _t(spark, sf_dir, "documents")
+    va = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), F.col("doc_id"),
+        F.lit("/?b=2&a=1&utm_source=feed"),
+    )
+    vb = F.when(F.col("doc_id") % 50 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("HTTPS://"), F.col("source"), F.lit(".EXAMPLE.com:443/p/"),
+            F.col("doc_id"), F.lit("?a=1&fbclid="), F.col("doc_id"), F.lit("&b=2#x"),
+        )
+    )
+    raw = d.select("source", F.explode(F.array(va, vb)).alias("u"))
+    canon = raw.select(
+        "source",
+        canonical_url(F.col("u")).alias("c"),
+        surt_host(F.col("u")).alias("s"),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("c").isNull(), 1)).alias("n_bad"),
+        F.count_distinct(F.col("c")).alias("n_canon"),
+        F.count_distinct(F.when(F.col("c").isNotNull(), F.col("s"))).alias("n_surt"),
+        F.sum(F.length("c")).alias("len_sum"),
+    )

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shovel_spark.functions.urls import canonical_url, surt_host, url_host, url_query_canonical
+
+
+def _canon(spark, urls: list[str]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+
+
+def test_variants_collapse_to_one_key(spark):
+    out = _canon(
+        spark,
+        [
+            "https://a.example.com/p/7/?b=2&a=1&utm_source=feed&utm_medium=x",
+            "HTTPS://a.EXAMPLE.com:443/p/7?a=1&fbclid=zz&b=2#frag",
+            "https://a.example.com/p/7?b=2&a=1",
+        ],
+    )
+    assert out[0] == out[1] == out[2] == "https://a.example.com/p/7?a=1&b=2"
+
+
+def test_unparseable_is_null(spark):
+    assert _canon(spark, ["not a url", "//schemeless.com/x", "mailto:a@b.c"]) == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_non_default_port_kept(spark):
+    assert _canon(spark, ["https://x.com:8080/q", "http://x.com:80/q"]) == [
+        "https://x.com:8080/q",
+        "http://x.com/q",
+    ]
+
+
+def test_canonical_idempotent(spark):
+    urls = [
+        "https://a.example.com/p/7/?b=2&a=1&utm_source=feed",
+        "http://News.Example.co.uk:80/a/b/?z=9&y=8",
+        "https://x.com/",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_surt_host_reverses_labels(spark):
+    df = spark.createDataFrame([("http://News.Example.co.uk/x",)], "u string")
+    assert df.select(surt_host(F.col("u")).alias("s")).first()["s"] == "uk.co.example.news"
+
+
+def test_query_canonical_sorts_and_strips(spark):
+    df = spark.createDataFrame(
+        [("https://x.com/?z=1&utm_campaign=c&a=2&gclid=g&&m=3",)], "u string"
+    )
+    got = df.select(url_query_canonical(F.col("u")).alias("q")).first()["q"]
+    assert got == "a=2&m=3&z=1"
+
+
+def test_host_lowercased_no_udf_in_plan(spark):
+    df = spark.createDataFrame([("HTTPS://A.B.COM/x",)], "u string")
+    assert df.select(url_host(F.col("u")).alias("h")).first()["h"] == "a.b.com"
+    plan = (
+        df.select(canonical_url(F.col("u")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
