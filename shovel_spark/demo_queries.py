@@ -3087,7 +3087,8 @@ def docs_pack_shards(spark, sf_dir):
     )
 
 
-_URL_ORACLE_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+from shovel_spark.functions.urls import _URL_RE as _URL_ORACLE_RE  # noqa: E402
+from shovel_spark.functions.urls import tracking_drop_sql as _tracking_drop_sql  # noqa: E402
 
 
 @_register(
@@ -3107,19 +3108,21 @@ _URL_ORACLE_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(
     ),
     parsed AS MATERIALIZED (
       SELECT source, u,
-             regexp_replace(lower(regexp_extract(u, '{_URL_ORACLE_RE}', 2)),
-                            ':(80|443)$', '') AS host,
              lower(regexp_extract(u, '{_URL_ORACLE_RE}', 1)) AS scheme,
-             regexp_replace(regexp_extract(u, '{_URL_ORACLE_RE}', 3), '/$', '') AS path,
+             lower(regexp_replace(regexp_extract(u, '{_URL_ORACLE_RE}', 2),
+                                  '^[^@]*@', '')) AS host0,
+             regexp_replace(regexp_extract(u, '{_URL_ORACLE_RE}', 3), '/+$', '') AS path,
              coalesce(array_to_string(list_sort(list_filter(
                string_split(regexp_extract(u, '{_URL_ORACLE_RE}', 4), '&'),
-               p -> p != '' AND NOT (starts_with(p, 'utm_')
-                    OR starts_with(p, 'fbclid=') OR p = 'fbclid'
-                    OR starts_with(p, 'gclid=') OR p = 'gclid'
-                    OR starts_with(p, 'msclkid=') OR p = 'msclkid'
-                    OR starts_with(p, 'mc_eid=') OR p = 'mc_eid'
-                    OR starts_with(p, '_ga=') OR p = '_ga'))), '&'), '') AS q
+               p -> p != '' AND NOT ({_tracking_drop_sql()}))), '&'), '') AS q
       FROM raw
+    ),
+    hosted AS (
+      SELECT source, scheme, path, q,
+             CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                  ELSE host0 END AS host
+      FROM parsed
     ),
     canon AS MATERIALIZED (
       SELECT source,
@@ -3127,7 +3130,7 @@ _URL_ORACLE_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(
                   WHEN q = '' THEN scheme || '://' || host || path
                   ELSE scheme || '://' || host || path || '?' || q END AS c,
              array_to_string(list_reverse(string_split(host, '.')), '.') AS s
-      FROM parsed
+      FROM hosted
     )
     SELECT source,
            count(*) AS n_raw,
