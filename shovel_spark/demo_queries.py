@@ -3175,3 +3175,77 @@ def docs_canonical_urls(spark, sf_dir):
         F.count_distinct(F.when(F.col("c").isNotNull(), F.col("s"))).alias("n_surt"),
         F.sum(F.length("c")).alias("len_sum"),
     )
+
+
+@_register(
+    "pages_snapshot_upsert",
+    """
+    WITH old AS (
+      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
+             1000 AS ts, text, source
+      FROM documents
+    ),
+    newer AS (
+      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
+             2000 AS ts, 'v2 ' || text AS text, source
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/p/' || (doc_id + 100000) AS url,
+             2000 AS ts, text, source
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    tagged AS (
+      SELECT *, 0 AS origin FROM old
+      UNION ALL
+      SELECT *, 1 AS origin FROM newer
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY ts DESC, origin DESC, url
+      ) AS rn FROM tagged
+    )
+    SELECT source, count(*) AS n_urls,
+           CAST(count(CASE WHEN ts = 2000 THEN 1 END) AS BIGINT) AS n_from_new,
+           CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def pages_snapshot_upsert(spark, sf_dir):
+    """Recurring-crawl snapshot merge (operators/merge.py upsert_latest —
+    the Iceberg MERGE INTO analog): a re-crawl updates every 3rd page and
+    discovers new urls; keep-latest-per-url must yield exactly one row per
+    url with re-crawled text winning. Per-source counts + text length
+    checksum prove the exact surviving row set. One key-shuffle,
+    WindowGroupLimit (plan-asserted in test_merge)."""
+    from shovel_spark.operators.merge import upsert_latest
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), F.col("doc_id"))
+    old = d.select(url.alias("url"), F.lit(1000).alias("ts"), "text", "source")
+    newer = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            url.alias("url"),
+            F.lit(2000).alias("ts"),
+            F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+            "source",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                F.concat(
+                    F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+                    F.col("doc_id") + 100000,
+                ).alias("url"),
+                F.lit(2000).alias("ts"),
+                "text",
+                "source",
+            )
+        )
+    )
+    merged = upsert_latest(old, newer, "url", "ts", tiebreak="url")
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.count(F.when(F.col("ts") == 2000, 1)).alias("n_from_new"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+    )
