@@ -3201,7 +3201,7 @@ def docs_canonical_urls(spark, sf_dir):
     ),
     ranked AS (
       SELECT *, row_number() OVER (
-        PARTITION BY url ORDER BY ts DESC, origin DESC, url
+        PARTITION BY url ORDER BY ts DESC, origin DESC, text
       ) AS rn FROM tagged
     )
     SELECT source, count(*) AS n_urls,
@@ -3243,7 +3243,7 @@ def pages_snapshot_upsert(spark, sf_dir):
             )
         )
     )
-    merged = upsert_latest(old, newer, "url", "ts", tiebreak="url")
+    merged = upsert_latest(old, newer, "url", "ts", tiebreak="text")
     return merged.groupBy("source").agg(
         F.count("*").alias("n_urls"),
         F.count(F.when(F.col("ts") == 2000, 1)).alias("n_from_new"),

@@ -28,13 +28,14 @@ def upsert_latest(
 ) -> DataFrame:
     """Merge ``new`` into ``old``: one row per ``key``, the one with the
     greatest ``ts_col``. Equal timestamps prefer the NEW snapshot (an
-    idempotent re-run of the same snapshot is a no-op), then ``tiebreak``
-    ascending (pass a stable column when a snapshot itself may carry
-    duplicate keys; without it the alphabetically-first... nothing — ties
-    beyond (ts, origin) keep an arbitrary-but-single row only if a
-    tiebreak makes the order total, so pass one for full determinism).
+    idempotent re-run of the same snapshot is a no-op). Ties beyond
+    (ts, origin) keep a single row but an ARBITRARY one — pass a
+    ``tiebreak`` column (ascending; must differ within the partition, not
+    the key itself) whenever one snapshot may carry duplicate keys, to
+    make the order total and the survivor deterministic.
 
-    Both inputs must share a schema (extra columns allowed if identical).
+    Both inputs must have the SAME column set (columns beyond key/ts are
+    fine when present on both sides; unionByName rejects asymmetry).
     NULL timestamps sort last (a row without a fetch time never beats a
     dated row).
     """
