@@ -3249,3 +3249,46 @@ def pages_snapshot_upsert(spark, sf_dir):
         F.count(F.when(F.col("ts") == 2000, 1)).alias("n_from_new"),
         F.sum(F.length("text")).alias("text_len_sum"),
     )
+
+
+@_register(
+    "docs_lang_rebalance",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    w AS (
+      SELECT lang, n, CAST(floor(sqrt(n) * 1000 + 0.5) AS BIGINT) AS wq
+      FROM counts
+    ),
+    z AS (SELECT sum(wq) AS z FROM w),
+    cut AS (
+      SELECT lang,
+             CAST(floor(least(1.0, 150 * wq / z.z / n) * 10000 + 0.5) AS BIGINT)
+               AS cutoff
+      FROM w CROSS JOIN z
+    )
+    SELECT d.lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d JOIN cut c ON d.lang = c.lang
+    WHERE ('0x' || substr(md5('7:' || d.doc_id), 1, 15))::BIGINT % 10000 < c.cutoff
+    GROUP BY 1
+    """,
+)
+def docs_lang_rebalance(spark, sf_dir):
+    """Temperature-based data mixing (sampling.temperature_fractions α=0.5 +
+    stratified_hash_sample, md5 family): rebalance the skewed language
+    distribution toward a 150-doc target — head languages downsampled, tail
+    kept whole. Weights are integer-quantized (sqrt·1000) so the weight sum
+    is exact and the oracle replays the identical IEEE float chain; id_sum
+    proves the exact kept row set. Only the k-row count summary crosses to
+    the driver (k-means budget); the sample filter is map-only."""
+    from shovel_spark.operators.sampling import (
+        stratified_hash_sample,
+        temperature_fractions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fracs = temperature_fractions(counts, target_total=150, alpha=0.5)
+    s = stratified_hash_sample(d, "lang", fracs, family="md5")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )

@@ -13,6 +13,8 @@ the exact assignment).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -211,3 +213,63 @@ def pack_shards(
             F.col("shard_bucket") * F.lit(1_000_000_000_000) + F.col("shard_seq"),
         )
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 7,
+    family: str = "xxhash64",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic downsample: keep ``fractions[key]`` of each
+    key's rows by id-hash (resolution 1/10000) — the data-MIXING stage of a
+    training corpus (rebalance languages/domains to target weights). Same
+    membership guarantees as :func:`hash_sample` (stable across runs,
+    partitionings, engines; nested across fractions), applied per key;
+    unlisted keys keep ``default_fraction``. Map-only, fused into the scan.
+    """
+    cutoff = None
+    for k, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {frac}")
+        c = int(math.floor(frac * _BUCKETS + 0.5))
+        cond = F.col(key_col) == k
+        cutoff = F.when(cond, c) if cutoff is None else cutoff.when(cond, c)
+    dflt = int(math.floor(default_fraction * _BUCKETS + 0.5))
+    cutoff = F.lit(dflt) if cutoff is None else cutoff.otherwise(dflt)
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & (_hash_bucket(F.col(id_col), seed, family) < cutoff)
+    )
+
+
+def temperature_fractions(
+    counts: dict[str, int], target_total: int, alpha: float = 0.5
+) -> dict[str, float]:
+    """UniMax-style α-temperature mixing fractions from per-key row counts:
+    weight w_k = n_k^α (quantized to 1/1000 INTEGERS so the weight sum is
+    exact and order-free), keep fraction f_k = min(1, target·w_k/Z/n_k).
+    α<1 flattens the distribution (head keys downsampled, tail kept whole).
+
+    Pure driver-side arithmetic over the k-row count summary (the same
+    k-rows-to-the-driver budget as k-means centroids). For α=0.5 every op
+    (sqrt, int·int, float divides, min) is correctly-rounded IEEE — a SQL
+    oracle replaying the same expression gets bit-identical fractions; other
+    α use pow, which may differ by 1 ulp across engines (fine in production,
+    not oracle-grade).
+    """
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    if not counts:
+        return {}
+    w = {
+        k: int(math.floor((math.sqrt(n) if alpha == 0.5 else float(n) ** alpha) * 1000 + 0.5))
+        for k, n in counts.items()
+    }
+    z = sum(w.values())
+    if z == 0:
+        return {k: 0.0 for k in counts}
+    return {k: min(1.0, target_total * w[k] / z / counts[k]) for k in counts}

@@ -132,3 +132,54 @@ def test_pack_bucket_uses_full_hash(spark):
     n_buckets = out.select("shard_bucket").distinct().count()
     assert n_buckets > 4000  # ~4400 expected from 5000 balls in 40000 bins
     assert out.agg(F.max("shard_bucket")).first()[0] > 10_000
+
+
+# --- stratified_hash_sample / temperature_fractions -----------------------
+
+
+def test_temperature_flattens_head(spark):
+    from shovel_spark.operators.sampling import temperature_fractions
+
+    fr = temperature_fractions({"head": 10000, "tail": 100}, target_total=2000)
+    # α=0.5: tail keeps a larger share of itself than head
+    assert fr["tail"] > fr["head"]
+    assert 0.0 < fr["head"] <= 1.0 and 0.0 < fr["tail"] <= 1.0
+
+
+def test_temperature_cap_and_edge_cases(spark):
+    from shovel_spark.operators.sampling import temperature_fractions
+
+    assert temperature_fractions({"a": 10}, target_total=1000) == {"a": 1.0}
+    assert temperature_fractions({}, target_total=10) == {}
+    assert temperature_fractions({"a": 5}, target_total=0) == {"a": 0.0}
+    with pytest.raises(ValueError):
+        temperature_fractions({"a": 5}, target_total=-1)
+
+
+def test_stratified_sample_membership_nested_and_deterministic(spark, docs):
+    from shovel_spark.operators.sampling import stratified_hash_sample
+
+    small = stratified_hash_sample(docs, "source", {"src0": 0.2, "src1": 0.5})
+    big = stratified_hash_sample(docs, "source", {"src0": 0.6, "src1": 0.9})
+    s_ids = {r["doc_id"] for r in small.collect()}
+    b_ids = {r["doc_id"] for r in big.collect()}
+    assert s_ids <= b_ids
+    # unlisted keys dropped by default (default_fraction=0)
+    assert {r["source"] for r in big.collect()} == {"src0", "src1"}
+    again = {r["doc_id"] for r in stratified_hash_sample(docs.repartition(9), "source", {"src0": 0.2, "src1": 0.5}).collect()}
+    assert again == s_ids
+
+
+def test_stratified_default_fraction_keeps_unlisted(spark, docs):
+    from shovel_spark.operators.sampling import stratified_hash_sample
+
+    out = stratified_hash_sample(docs, "source", {"src0": 0.0}, default_fraction=1.0)
+    got = {r["source"] for r in out.collect()}
+    assert "src0" not in got and len(got) == 4
+
+
+def test_stratified_validates_fraction(spark, docs):
+    from shovel_spark.operators.sampling import stratified_hash_sample
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "source", {"src0": 1.5})
