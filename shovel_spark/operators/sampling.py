@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
+def _quantize(fraction: float) -> int:
+    """fraction → bucket cutoff, half-UP (floor(x+0.5)) — the one rounding
+    rule every sampler here and every DuckDB oracle replays (Python round()
+    is half-even and disagrees with SQL at half-bucket fractions)."""
+    return int(math.floor(fraction * _BUCKETS + 0.5))
+
+
 def _seed_str(col: Column, seed: int) -> Column:
     """The '{seed}:{id}' wire string every hash below (and every DuckDB
     oracle replaying it) is defined over — one definition only."""
@@ -62,7 +69,7 @@ def hash_sample(
     bucket — a nominal 10% sample keeping 100% or 0% of them)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    cutoff = round(fraction * _BUCKETS)
+    cutoff = _quantize(fraction)
     return df.filter(
         F.col(id_col).isNotNull()
         & (_hash_bucket(F.col(id_col), seed, family) < cutoff)
@@ -101,7 +108,7 @@ def hash_split(
     cum = 0
     items = list(fractions.items())
     for name, frac in items[:-1]:
-        cum += round(frac * _BUCKETS)
+        cum += _quantize(frac)
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
@@ -229,16 +236,20 @@ def stratified_hash_sample(
     training corpus (rebalance languages/domains to target weights). Same
     membership guarantees as :func:`hash_sample` (stable across runs,
     partitionings, engines; nested across fractions), applied per key;
-    unlisted keys keep ``default_fraction``. Map-only, fused into the scan.
+    unlisted keys — and rows whose ``key_col`` is NULL (every equality
+    branch is NULL for them) — keep ``default_fraction``. Map-only, fused
+    into the scan.
     """
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
     cutoff = None
     for k, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0, 1], got {frac}")
-        c = int(math.floor(frac * _BUCKETS + 0.5))
+        c = _quantize(frac)
         cond = F.col(key_col) == k
         cutoff = F.when(cond, c) if cutoff is None else cutoff.when(cond, c)
-    dflt = int(math.floor(default_fraction * _BUCKETS + 0.5))
+    dflt = _quantize(default_fraction)
     cutoff = F.lit(dflt) if cutoff is None else cutoff.otherwise(dflt)
     return df.filter(
         F.col(id_col).isNotNull()
@@ -272,4 +283,7 @@ def temperature_fractions(
     z = sum(w.values())
     if z == 0:
         return {k: 0.0 for k in counts}
-    return {k: min(1.0, target_total * w[k] / z / counts[k]) for k in counts}
+    return {
+        k: 0.0 if counts[k] == 0 else min(1.0, target_total * w[k] / z / counts[k])
+        for k in counts
+    }

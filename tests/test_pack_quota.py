@@ -183,3 +183,33 @@ def test_stratified_validates_fraction(spark, docs):
 
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "source", {"src0": 1.5})
+
+
+def test_temperature_zero_count_key(spark):
+    from shovel_spark.operators.sampling import temperature_fractions
+
+    fr = temperature_fractions({"a": 0, "b": 100}, target_total=50)
+    assert fr["a"] == 0.0 and 0.0 < fr["b"] <= 1.0
+
+
+def test_stratified_validates_default_fraction(spark, docs):
+    from shovel_spark.operators.sampling import stratified_hash_sample
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "source", {"src0": 0.5}, default_fraction=1.5)
+
+
+def test_stratified_matches_hash_sample_at_same_fraction(spark, docs):
+    """Same quantization rule everywhere: a one-key stratified sample and a
+    plain hash_sample at the same (half-bucket) fraction agree exactly."""
+    from shovel_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    frac = 0.12345  # quantizes to a half bucket: floor/round would disagree
+    a = {r["doc_id"] for r in hash_sample(docs, frac).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            docs, "source", {f"src{i}": frac for i in range(5)}
+        ).collect()
+    }
+    assert a == b
