@@ -3292,3 +3292,143 @@ def docs_lang_rebalance(spark, sf_dir):
     return s.groupBy("lang").agg(
         F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@_register(
+    "docs_crawl_refresh",
+    f"""
+    WITH old_snap AS (
+      SELECT 'https://' || source || '.example.com/p/' || doc_id
+               || '/?b=2&a=1&utm_source=feed' AS u,
+             1000 AS ts, text, source, lang
+      FROM documents
+    ),
+    new_snap AS (
+      SELECT 'HTTPS://' || source || '.EXAMPLE.com:443/p/' || doc_id
+               || '?a=1&b=2&fbclid=x#f' AS u,
+             2000 AS ts, 'v2 ' || text AS text, source, lang
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/p/' || (doc_id + 100000)
+               || '/?b=2&a=1&utm_source=feed' AS u,
+             2000 AS ts, text, source, lang
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    tagged AS (
+      SELECT *, 0 AS origin FROM old_snap
+      UNION ALL
+      SELECT *, 1 AS origin FROM new_snap
+    ),
+    parsed AS (
+      SELECT ts, text, source, lang, origin,
+             lower(regexp_extract(u, '{{RE}}', 1)) AS scheme,
+             lower(regexp_replace(regexp_extract(u, '{{RE}}', 2),
+                                  '^[^@]*@', '')) AS host0,
+             regexp_replace(regexp_extract(u, '{{RE}}', 3), '/+$', '') AS path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(u, '{{RE}}', 4), '&'),
+               p -> p != '' AND NOT ({{DROP}}))), '&'), '') AS q
+      FROM tagged
+    ),
+    canon AS MATERIALIZED (
+      SELECT ts, text, source, lang, origin,
+             CASE WHEN q = '' THEN scheme || '://' || host || path
+                  ELSE scheme || '://' || host || path || '?' || q END AS curl
+      FROM (
+        SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END AS host
+        FROM parsed
+      ) WHERE host != ''
+    ),
+    merged AS MATERIALIZED (
+      SELECT curl, ts, text, source, lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY curl ORDER BY ts DESC, origin DESC, text
+        ) AS rn FROM canon
+      ) WHERE rn = 1
+    ),
+    quota AS MATERIALIZED (
+      SELECT curl, text, source, lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY md5('7:' || curl), curl
+        ) AS rn FROM merged
+      ) WHERE rn <= 15
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM quota GROUP BY 1),
+    w AS (
+      SELECT lang, n, CAST(floor(sqrt(n) * 1000 + 0.5) AS BIGINT) AS wq
+      FROM counts
+    ),
+    z AS (SELECT sum(wq) AS z FROM w),
+    cut AS (
+      SELECT lang,
+             CAST(floor(least(1.0, 200 * wq / z.z / n) * 10000 + 0.5) AS BIGINT)
+               AS cutoff
+      FROM w CROSS JOIN z
+    )
+    SELECT q.lang, count(*) AS n_pages,
+           count(DISTINCT q.source) AS n_sources,
+           CAST(sum(length(q.text)) AS BIGINT) AS text_len_sum
+    FROM quota q JOIN cut c ON q.lang = c.lang
+    WHERE ('0x' || substr(md5('7:' || q.curl), 1, 15))::BIGINT % 10000 < c.cutoff
+    GROUP BY 1
+    """.replace("{RE}", _URL_ORACLE_RE).replace("{DROP}", _tracking_drop_sql()),
+)
+def docs_crawl_refresh(spark, sf_dir):
+    """CAPSTONE crawl-management composite — the recurring-crawl refresh a
+    web corpus runs every snapshot, chaining this round's operators:
+    noisy re-crawl URLs → canonical_url (variants collapse to one key) →
+    upsert_latest (re-crawled text wins) → quota_sample (≤15 pages per
+    source domain) → temperature mixing (α=0.5 toward a 200-page target).
+    One DuckDB oracle replays all five stages; per-lang counts, source
+    spread, and a text checksum pin the exact surviving rows."""
+    from shovel_spark.functions.urls import canonical_url
+    from shovel_spark.operators.merge import upsert_latest
+    from shovel_spark.operators.sampling import (
+        quota_sample,
+        stratified_hash_sample,
+        temperature_fractions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old_u = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), F.col("doc_id"),
+        F.lit("/?b=2&a=1&utm_source=feed"),
+    )
+    old = d.select(old_u.alias("u"), F.lit(1000).alias("ts"), "text", "source", "lang")
+    upd_u = F.concat(
+        F.lit("HTTPS://"), F.col("source"), F.lit(".EXAMPLE.com:443/p/"),
+        F.col("doc_id"), F.lit("?a=1&b=2&fbclid=x#f"),
+    )
+    ins_u = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id") + 100000, F.lit("/?b=2&a=1&utm_source=feed"),
+    )
+    newer = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            upd_u.alias("u"), F.lit(2000).alias("ts"),
+            F.concat(F.lit("v2 "), F.col("text")).alias("text"), "source", "lang",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                ins_u.alias("u"), F.lit(2000).alias("ts"), "text", "source", "lang"
+            )
+        )
+    )
+    canonize = lambda s: (  # noqa: E731
+        s.withColumn("curl", canonical_url(F.col("u")))
+        .filter(F.col("curl").isNotNull())
+        .drop("u")
+    )
+    merged = upsert_latest(canonize(old), canonize(newer), "curl", "ts", tiebreak="text")
+    quota = quota_sample(merged, "source", 15, id_col="curl", family="md5")
+    counts = {r["lang"]: r["n"] for r in quota.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fracs = temperature_fractions(counts, target_total=200, alpha=0.5)
+    mixed = stratified_hash_sample(quota, "lang", fracs, id_col="curl", family="md5")
+    return mixed.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+    )
