@@ -3296,7 +3296,7 @@ def docs_lang_rebalance(spark, sf_dir):
 
 @_register(
     "docs_crawl_refresh",
-    f"""
+    """
     WITH old_snap AS (
       SELECT 'https://' || source || '.example.com/p/' || doc_id
                || '/?b=2&a=1&utm_source=feed' AS u,
@@ -3321,13 +3321,13 @@ def docs_lang_rebalance(spark, sf_dir):
     ),
     parsed AS (
       SELECT ts, text, source, lang, origin,
-             lower(regexp_extract(u, '{{RE}}', 1)) AS scheme,
-             lower(regexp_replace(regexp_extract(u, '{{RE}}', 2),
+             lower(regexp_extract(u, '{RE}', 1)) AS scheme,
+             lower(regexp_replace(regexp_extract(u, '{RE}', 2),
                                   '^[^@]*@', '')) AS host0,
-             regexp_replace(regexp_extract(u, '{{RE}}', 3), '/+$', '') AS path,
+             regexp_replace(regexp_extract(u, '{RE}', 3), '/+$', '') AS path,
              coalesce(array_to_string(list_sort(list_filter(
-               string_split(regexp_extract(u, '{{RE}}', 4), '&'),
-               p -> p != '' AND NOT ({{DROP}}))), '&'), '') AS q
+               string_split(regexp_extract(u, '{RE}', 4), '&'),
+               p -> p != '' AND NOT ({DROP}))), '&'), '') AS q
       FROM tagged
     ),
     canon AS MATERIALIZED (
@@ -3423,7 +3423,7 @@ def docs_crawl_refresh(spark, sf_dir):
         .drop("u")
     )
     merged = upsert_latest(canonize(old), canonize(newer), "curl", "ts", tiebreak="text")
-    quota = quota_sample(merged, "source", 15, id_col="curl", family="md5")
+    quota = quota_sample(merged, "source", 15, id_col="curl", family="md5").localCheckpoint()
     counts = {r["lang"]: r["n"] for r in quota.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     fracs = temperature_fractions(counts, target_total=200, alpha=0.5)
     mixed = stratified_hash_sample(quota, "lang", fracs, id_col="curl", family="md5")
