@@ -1,1 +1,2 @@
-"""Column-level functions: parse, codecs, text statistics, hashing."""
+"""Column-level functions: parse, codecs, grok, text statistics, URL
+canonicalization, wire codecs, UDAFs."""
