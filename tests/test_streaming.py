@@ -100,3 +100,39 @@ def test_stream_dedupe_by_uuid(spark, tmp_path):
     base.write.mode("append").parquet(in_dir)
     n2, u2 = run()
     assert (n2, u2) == (300, 300)  # redelivered rows suppressed by dedupe state
+
+
+def test_stream_dedups_by_canonical_url(spark, tmp_path):
+    """Streaming crawl-intake dedup: noisy re-fetches of the same page in
+    LATER micro-batches collapse onto the canonical key — canonical_url is
+    plain codegen, so it drops into a stream unchanged, and
+    dropDuplicates(canonical) persists membership across batches via the
+    stream checkpoint (the queue-dedupe analog over canonical identity)."""
+    from shovel_spark.functions.urls import canonical_url
+
+    in_dir = str(tmp_path / "urls_in")
+    out_dir = str(tmp_path / "urls_out")
+    ckpt = str(tmp_path / "urls_ckpt")
+
+    def arrivals(rows):
+        spark.createDataFrame(rows, "u string, payload long").write.mode("append").parquet(in_dir)
+        (
+            spark.readStream.schema("u string, payload long")
+            .parquet(in_dir)
+            .withColumn("curl", canonical_url(F.col("u")))
+            .filter(F.col("curl").isNotNull())
+            .dropDuplicates(["curl"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {(r["curl"], r["payload"]) for r in spark.read.parquet(out_dir).collect()}
+
+    got1 = arrivals([("https://a.com/p/1/?b=2&a=1&utm_source=x", 1), ("not a url", 9)])
+    assert got1 == {("https://a.com/p/1?a=1&b=2", 1)}
+    # a noisy re-fetch of page 1 in a later batch is a duplicate; page 2 is new
+    got2 = arrivals([("HTTPS://A.com:443/p/1?a=1&b=2#f", 10), ("https://a.com/p/2", 2)])
+    assert got2 == {("https://a.com/p/1?a=1&b=2", 1), ("https://a.com/p/2", 2)}
