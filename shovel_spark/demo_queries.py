@@ -3432,3 +3432,50 @@ def docs_crawl_refresh(spark, sf_dir):
         F.count_distinct("source").alias("n_sources"),
         F.sum(F.length("text")).alias("text_len_sum"),
     )
+
+
+@_register(
+    "docs_ngram_commonness",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+      FROM toks
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('7:' || gram), 1, 15))::BIGINT AS gk
+      FROM grams
+    ),
+    counts AS (SELECT gk, count(*) AS cnt FROM keyed GROUP BY 1),
+    per_doc AS (
+      SELECT k.doc_id, k.lang, sum(c.cnt) / count(*) AS commonness
+      FROM keyed k JOIN counts c ON k.gk = c.gk
+      GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(commonness), 4) AS avg_common,
+           round(max(commonness), 4) AS max_common
+    FROM per_doc GROUP BY 1
+    """,
+)
+def docs_ngram_commonness(spark, sf_dir):
+    """Corpus-statistical quality tier (operators/quality.py): score every
+    doc by the mean corpus frequency of its bigrams (the corpus is the
+    model — the IDF-shaped two-pass between heuristics and a real LM),
+    then per-lang count/avg/max. Grams shuffle as 8-byte md5-family hashes
+    (never strings); per-doc math is exact integers until one division, so
+    the oracle replays the join bit-for-bit."""
+    from shovel_spark.operators.quality import ngram_commonness
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = ngram_commonness(d, family="md5")
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("commonness"), 4).alias("avg_common"),
+        F.round(F.max("commonness"), 4).alias("max_common"),
+    )

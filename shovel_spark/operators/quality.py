@@ -1,0 +1,59 @@
+"""Corpus-statistical quality scoring — n-gram commonness.
+
+Between the scan-speed heuristics (textstats.quality_score) and a real
+LM-perplexity filter sits the self-supervised statistical tier: score each
+document by how common its word bigrams are IN THIS CORPUS. Fluent prose
+reuses the corpus's own frequent n-grams; gibberish and boilerplate-free
+junk sit in the rare tail. No external model — the corpus is the model
+(the same two-pass shape as IDF).
+
+Scale shape: one explode + two gram-key shuffles. Grams are hashed to
+8-byte longs before any shuffle (the gram STRING never shuffles — at
+100 TB the bigram universe is billions of short strings and the hash
+halves the exchange width; same md5/xxhash64 family knob as
+operators/sampling, so a DuckDB oracle replays the exact join). Per-doc
+score is exact integer arithmetic until one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shovel_spark.functions.textstats import bigrams, tokens
+from shovel_spark.operators.sampling import _hash_long
+
+
+def ngram_commonness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Add ``commonness`` = mean corpus-wide occurrence count of the doc's
+    bigram occurrences (≥ 1.0; higher = more formulaic/fluent, 1.0 = every
+    bigram unique in the corpus). Deterministic: depends only on the corpus
+    multiset, never on partitioning. Clamps like :func:`textstats.bigrams`
+    (a 1-token doc scores its single word).
+
+    Rows with NULL ids or NULL text are passed through with NULL
+    commonness (left join back onto ``df``).
+    """
+    grams = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
+        .select("__id", F.explode(bigrams(F.col("__w"))).alias("__gram"))
+        # NULL text yields [NULL] from the clamped bigram transform, and
+        # concat_ws would hash that to the shared '{seed}:' key, coupling
+        # every NULL-text doc — drop the NULL grams instead (those docs
+        # then surface with NULL commonness via the left join)
+        .filter(F.col("__gram").isNotNull())
+        .select("__id", _hash_long(F.col("__gram"), seed, family).alias("__gk"))
+    )
+    counts = grams.groupBy("__gk").agg(F.count("*").alias("__cnt"))
+    per_doc = (
+        grams.join(counts, "__gk")
+        .groupBy("__id")
+        .agg((F.sum("__cnt") / F.count("*")).alias("commonness"))
+    )
+    return df.join(per_doc, df[id_col] == per_doc["__id"], "left").drop("__id")
