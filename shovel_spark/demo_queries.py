@@ -3438,29 +3438,30 @@ def docs_crawl_refresh(spark, sf_dir):
     "docs_ngram_commonness",
     """
     WITH toks AS MATERIALIZED (
-      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
       FROM documents
     ),
     grams AS (
-      SELECT doc_id, lang,
+      SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
                     i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
       FROM toks
     ),
     keyed AS MATERIALIZED (
-      SELECT doc_id, lang,
+      SELECT doc_id,
              ('0x' || substr(md5('7:' || gram), 1, 15))::BIGINT AS gk
-      FROM grams
+      FROM grams WHERE doc_id IS NOT NULL
     ),
     counts AS (SELECT gk, count(*) AS cnt FROM keyed GROUP BY 1),
     per_doc AS (
-      SELECT k.doc_id, k.lang, sum(c.cnt) / count(*) AS commonness
+      SELECT k.doc_id, sum(c.cnt) / count(*) AS commonness
       FROM keyed k JOIN counts c ON k.gk = c.gk
-      GROUP BY 1, 2
+      GROUP BY 1
     )
-    SELECT lang, count(*) AS n_docs, round(avg(commonness), 4) AS avg_common,
-           round(max(commonness), 4) AS max_common
-    FROM per_doc GROUP BY 1
+    SELECT d.lang, count(*) AS n_docs, round(avg(p.commonness), 4) AS avg_common,
+           round(max(p.commonness), 4) AS max_common
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY 1
     """,
 )
 def docs_ngram_commonness(spark, sf_dir):
