@@ -54,9 +54,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    executed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        executed += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -119,7 +121,8 @@ def main() -> int:
         else:
             print(f"OK {name}: {len(s_rows)} rows match  [{time.time()-t0:.1f}s]")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    label = "selected queries" if only else "queries"
+    print(f"\n{executed - len(failures)}/{executed} {label} pass")
     return 1 if failures else 0
 
 

@@ -2730,7 +2730,7 @@ def docs_training_corpus(spark, sf_dir):
     """
     WITH b AS (
       SELECT user_id,
-             CAST(epoch(ts) AS BIGINT) // 86400 * 86400 AS bucket,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS bucket,
              value
       FROM events WHERE user_id < 20
     ),
@@ -2871,8 +2871,11 @@ def docs_chunk_udtf(spark, sf_dir):
             if text is None:
                 return
             toks = text.split()
-            n = max(len(toks), 1)
-            for i, start in enumerate(range(0, n, 40)):
+            n = len(toks)
+            # clamp only the range bound (empty doc still emits ONE chunk)
+            # but report its true 0 token count — matching the oracle's
+            # least(50, len(toks) - start) on the unclamped length
+            for i, start in enumerate(range(0, max(n, 1), 40)):
                 yield i, min(50, n - start)
 
     spark.udtf.register("chunk_text", ChunkText)

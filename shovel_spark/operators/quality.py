@@ -7,11 +7,16 @@ reuses the corpus's own frequent n-grams; gibberish and boilerplate-free
 junk sit in the rare tail. No external model — the corpus is the model
 (the same two-pass shape as IDF).
 
-Scale shape: ONE corpus scan, one explode, one gram-key shuffle (the
-corpus frequency is a whole-partition window count over the exploded
-grams — not a separate counts build that would rescan and re-explode the
-corpus for the probe side), then one id shuffle for the per-doc mean.
-Grams are hashed to 8-byte longs before the shuffle (the gram STRING
+Scale shape: grams are first reduced to per-(doc, gram) counts — a
+map-side-combined groupBy, so the shuffle carries one row per DISTINCT
+(doc, gram), not per occurrence. Corpus totals are a second (tiny,
+pre-aggregated) groupBy on the gram key, joined back as an equi-join that
+AQE's skew-join splits if a stop-gram is still hot. Never a window over
+the gram key: ``count(*) OVER (PARTITION BY gram)`` would sort every
+occurrence of "of the" into ONE task at 100 TB — the exact skew
+``dedup.py`` documents for shingles. The per-(doc, gram) rollup bounds a
+hot gram's join bucket at n_docs rows instead of n_occurrences.
+Grams are hashed to 8-byte longs before any shuffle (the gram STRING
 never shuffles — at 100 TB the bigram universe is billions of short
 strings; same md5/xxhash64 family knob as operators/sampling, so a DuckDB
 oracle replays the exact grouping). Per-doc score is exact integer
@@ -20,7 +25,7 @@ arithmetic until one final division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shovel_spark.functions.textstats import bigrams, tokens
@@ -57,10 +62,14 @@ def ngram_commonness(
         .filter(F.col("__gram").isNotNull())
         .select("__id", _hash_long(F.col("__gram"), seed, family).alias("__gk"))
     )
-    counted = grams.withColumn(
-        "__cnt", F.count("*").over(Window.partitionBy("__gk"))
-    )
-    per_doc = counted.groupBy("__id").agg(
-        (F.sum("__cnt") / F.count("*")).alias("commonness")
+    # one shuffle (map-side combined) to per-(doc, gram) occurrence counts
+    doc_gram = grams.groupBy("__id", "__gk").agg(F.count("*").alias("__c"))
+    # corpus totals over the pre-aggregated pairs (hot gram = n_docs rows,
+    # not n_occurrences); the join back is AQE-skew-splittable
+    totals = doc_gram.groupBy("__gk").agg(F.sum("__c").alias("__cnt"))
+    per_doc = doc_gram.join(totals, "__gk").groupBy("__id").agg(
+        # mean over occurrences: each (doc, gram) contributes its corpus
+        # total once per occurrence — exact integers until this division
+        (F.sum(F.col("__c") * F.col("__cnt")) / F.sum("__c")).alias("commonness")
     )
     return df.join(per_doc, df[id_col] == per_doc["__id"], "left").drop("__id")

@@ -146,6 +146,12 @@ def quota_sample(
     into WindowGroupLimit, a per-partition top-k BEFORE the shuffle, so a
     hot domain ships at most k·partitions rows, never its full row set.
     NULL ids are excluded (no identity → no deterministic membership).
+
+    ``id_col`` must be UNIQUE per row (like :func:`ngram_commonness`):
+    duplicate ids tie the (hash, id) sort key, and row_number then picks an
+    arbitrary physical row among the duplicates — which row's OTHER columns
+    survive would vary across partitionings even though membership counts
+    stay deterministic.
     """
     if n_per_key < 0:
         raise ValueError(f"n_per_key must be >= 0, got {n_per_key}")
@@ -193,6 +199,11 @@ def pack_shards(
     so each bucket is a few GB (e.g. 10^5 buckets), giving full-cluster
     parallelism with no global sort and no driver state. NULL ids are
     excluded.
+
+    ``id_col`` must be UNIQUE per row: duplicate ids tie the in-bucket sort
+    key, making the cumulative-token walk (and thus shard boundaries for
+    every later row in the bucket) dependent on which duplicate sorts
+    first — i.e. on physical partitioning.
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")

@@ -38,10 +38,16 @@ def resample(
     aggs = aggs or {"n": F.count("*")}
     fill = fill or {"n": 0}
     # floor, NOT cast-to-long: cast truncates toward zero, so a pre-1970
-    # timestamp would land in the bucket AFTER the event
+    # timestamp would land in the bucket AFTER the event. Seconds come from
+    # floor(unix_micros/1e6), not unix_timestamp: unix_timestamp TRUNCATES
+    # fractional seconds (rounding-direction mismatch vs engines that round
+    # epoch()), while floor-of-micros buckets a fractional pre-boundary
+    # timestamp identically everywhere.
+    seconds = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)
+    )
     bucket = (
-        F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("long")
-        * interval_seconds
+        F.floor(seconds / interval_seconds).cast("long") * interval_seconds
     )
     agg = (
         df.withColumn("__b", bucket)

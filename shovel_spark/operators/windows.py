@@ -103,6 +103,30 @@ def asof_join(
     carried = [right_ts, *value_cols]
     out_names = {c: (f"{c}{suffix}" if c in left.columns or c == right_ts else c) for c in carried}
 
+    reserved = {"__ts", "__is_left", "__carry", "__match"}
+    clash = reserved & {*left.columns, *right.columns}
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clash)} collide with internal "
+            f"names {sorted(reserved)}; rename them first"
+        )
+    # a suffixed output must not silently overwrite a DIFFERENT left column
+    # (left 'v' + right 'v' -> 'v_asof' clobbering a distinct left 'v_asof'),
+    # and two carried columns must not suffix onto the same output name
+    seen: dict[str, str] = {}
+    for c, out in out_names.items():
+        if out != c and out in left.columns:
+            raise ValueError(
+                f"asof_join: output column {out!r} (for right column {c!r}) "
+                f"collides with an existing left column; pass a different suffix"
+            )
+        if out in seen:
+            raise ValueError(
+                f"asof_join: right columns {seen[out]!r} and {c!r} both map to "
+                f"output {out!r}; pass a different suffix"
+            )
+        seen[out] = c
+
     l_tag = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__is_left", F.lit(1)
     )

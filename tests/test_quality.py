@@ -41,3 +41,12 @@ def test_partition_invariant(spark):
     a = {r["doc_id"]: r["commonness"] for r in ngram_commonness(df).collect()}
     b = {r["doc_id"]: r["commonness"] for r in ngram_commonness(df.repartition(7)).collect()}
     assert a == b
+
+
+def test_no_window_over_gram_key(spark):
+    """Scale guard: corpus frequency must come from a map-side-combined
+    groupBy + equi-join, never ``count(*) OVER (PARTITION BY gram)`` — a
+    window would sort every occurrence of a stop-gram into one task."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b")], "doc_id long, text string")
+    plan = ngram_commonness(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan

@@ -52,3 +52,21 @@ def test_resample_default_count(spark):
     )
     out = resample(df, ["k"], interval_seconds=3600).collect()
     assert len(out) == 1 and out[0].n == 2
+
+
+def test_resample_fractional_seconds_truncate(spark):
+    """A timestamp with fractional seconds >= .5 just below a bucket
+    boundary must stay in the bucket CONTAINING it (floor semantics), not
+    round up across the boundary — cross-engine parity with oracles that
+    compute floor(epoch(ts))."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 59, 59, 900000), 1.0),  # 0:59:59.9 → hour 0
+        (1, dt(2024, 1, 1, 1, 0, 0, 400000), 2.0),    # 1:00:00.4 → hour 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample(df, ["user_id"], interval_seconds=3600,
+                   aggs={"total": F.sum("value")}, fill={"total": 0.0})
+    got = {r.bucket_ts.hour: r.total for r in out.collect()}
+    assert got == {0: 1.0, 1: 2.0}

@@ -151,3 +151,23 @@ def test_asof_join_single_shuffle_no_range_explosion(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_rejects_colliding_names(spark):
+    """Silent-overwrite guards: suffixed outputs clobbering a distinct left
+    column, two right columns suffixing to one name, and reserved internal
+    column names must all raise instead of corrupting the result."""
+    import pytest
+    from shovel_spark.operators.windows import asof_join
+    from datetime import datetime as dt
+
+    t = dt(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "keep")], "k long, ts timestamp, v_asof string")
+    right = spark.createDataFrame([(1, t, 9.0)], "k long, ts timestamp, v double")
+    left2 = left.withColumnRenamed("v_asof", "v")
+    with pytest.raises(ValueError, match="collides with an existing left column"):
+        asof_join(left.withColumn("v", F.lit(1.0)), right, on=["k"])
+    with pytest.raises(ValueError, match="both map to"):
+        asof_join(left2, right.withColumn("v_asof", F.lit(0.0)), on=["k"])
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(left2.withColumn("__ts", F.lit(0)), right, on=["k"])
