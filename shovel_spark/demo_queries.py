@@ -952,11 +952,26 @@ _ND_SHINGLE_SQL = r"""
 """
 
 
-#: MinHash→LSH→verify chain as DuckDB CTEs over a caller-supplied ``corpus``
-#: (doc_id, text) relation, ending in a ``pairs`` relation
-#: (id_a, id_b, jaccard >= 0.5) — shared by the near-dup pair query, the
-#: dup-cluster query, and the end-to-end clean-corpus query.
-_ND_CHAIN_CTES = f"""sh AS ({_ND_SHINGLE_SQL}),
+def _nd_chain_ctes(max_doc_freq: int | None = None) -> str:
+    """MinHash→LSH→verify chain as DuckDB CTEs over a caller-supplied
+    ``corpus`` (doc_id, text) relation, ending in a ``pairs`` relation
+    (id_a, id_b, jaccard >= 0.5) — shared by the near-dup pair query, the
+    dup-cluster query, and both capstone corpus queries.
+
+    ``max_doc_freq`` replays dedup.shingle_table's document-frequency cap:
+    shingles present in more than that many docs are dropped BEFORE
+    signatures, so the oracle verifies the skew defense, not just the
+    uncapped chain."""
+    if max_doc_freq is None:
+        sh_cte = f"sh AS ({_ND_SHINGLE_SQL})"
+    else:
+        sh_cte = f"""sh0 AS ({_ND_SHINGLE_SQL}),
+    sh AS (
+      SELECT s.doc_id, s.shingle FROM sh0 s
+      JOIN (SELECT shingle FROM sh0 GROUP BY 1
+            HAVING count(*) <= {max_doc_freq}) r USING (shingle)
+    )"""
+    return f"""{sh_cte},
     hv AS (
       SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
       FROM sh, range(0, 16) t(seed) GROUP BY 1, 2
@@ -987,6 +1002,9 @@ _ND_CHAIN_CTES = f"""sh AS ({_ND_SHINGLE_SQL}),
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
     )"""
 
+
+_ND_CHAIN_CTES = _nd_chain_ctes()
+
 #: chain bound to the standard near-dup test corpus.
 _ND_MINHASH_CTES = f"""corpus AS ({_ND_CORPUS_SQL}),
     {_ND_CHAIN_CTES}"""
@@ -1012,6 +1030,80 @@ def docs_minhash_near_dups(spark, sf_dir):
     pairs = minhash_dedup_pairs(
         _near_dup_corpus(spark, sf_dir), threshold=0.5, num_hashes=16, bands=8,
         family="md5",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+#: 29-word boilerplate every doc in the capped-pairs corpus shares — the
+#: planted hot-shingle skew the max_doc_freq cap exists to defuse.
+_BOILER = (
+    "the quick brown fox jumps over the lazy dog near the riverbank while "
+    "morning fog settles quietly across the valley floor and birds begin "
+    "their daily chorus of songs"
+)
+
+_BOILER_TERMS = " || ' w' || (doc_id * 7 + {i})"
+
+
+def _boiler_corpus_sql(n_docs: int, n_copies: int) -> str:
+    """DuckDB twin of the hot-shingle corpus: every doc = shared boilerplate
+    + unique content words w(7·id+1..6); copies (+100000) drop the last
+    content word."""
+    full = "".join(_BOILER_TERMS.format(i=i) for i in range(1, 7))
+    short = "".join(_BOILER_TERMS.format(i=i) for i in range(1, 6))
+    return f"""
+      SELECT doc_id, '{_BOILER}'{full} AS text
+      FROM documents WHERE doc_id < {n_docs}
+      UNION ALL
+      SELECT doc_id + 100000, '{_BOILER}'{short} AS text
+      FROM documents WHERE doc_id < {n_copies}
+"""
+
+
+@_register(
+    "docs_minhash_capped_pairs",
+    f"""
+    WITH corpus AS ({_boiler_corpus_sql(85, 5)}),
+    {_nd_chain_ctes(10)}
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM pairs ORDER BY id_a, id_b
+    """,
+)
+def docs_minhash_capped_pairs(spark, sf_dir):
+    """minhash_dedup_pairs with the ``max_doc_freq`` skew cap ACTIVE on a
+    corpus built to need it: all 90 docs share a 29-word boilerplate block
+    (27 shingles at doc-freq 90 — uncapped, those dominate every MinHash
+    signature and collapse the LSH buckets toward all-pairs), plus 6 unique
+    content words each; 5 planted near-dup copies drop the last content
+    word. With the cap at 10 the boilerplate shingles are dropped BEFORE
+    signatures, so only the 5 planted pairs surface (jaccard 5/6). The
+    oracle replays the capped chain end-to-end (dedup.shingle_table
+    max_doc_freq → dedup.py:66-77)."""
+    from shovel_spark.operators.dedup import minhash_dedup_pairs
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 85)
+
+    def _content(n_words: int) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.lit(_BOILER),
+            *[
+                F.concat(F.lit("w"), (F.col("doc_id") * 7 + i).cast("string"))
+                for i in range(1, n_words + 1)
+            ],
+        )
+
+    base = ids.withColumn("text", _content(6))
+    copies = (
+        ids.filter(F.col("doc_id") < 5)
+        .withColumn("text", _content(5))
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    pairs = minhash_dedup_pairs(
+        base.unionByName(copies), threshold=0.5, num_hashes=16, bands=8,
+        max_doc_freq=10, family="md5",
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -2239,7 +2331,7 @@ def events_zorder_stats(spark, sf_dir):
     corpus AS MATERIALIZED (
       SELECT doc_id, text FROM flt WHERE doc_id IN (SELECT doc_id FROM keep)
     ),
-    {_ND_CHAIN_CTES},
+    {_nd_chain_ctes(50)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
@@ -2323,9 +2415,12 @@ def docs_clean_corpus(spark, sf_dir):
     # anti-join, the final agg): checkpoint once so score+dedup don't
     # re-execute per consumer
     surv = exact_dedup(flt).localCheckpoint(eager=False)
+    # max_doc_freq=50: the boilerplate skew cap (dedup.shingle_table) wired
+    # the way a production run would set it — a no-op on this corpus (max
+    # organic shingle doc-freq ~14) but replayed by the oracle either way
     pairs = minhash_dedup_pairs(
         surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8,
-        family="md5",
+        max_doc_freq=50, family="md5",
     )
     cc = connected_components(pairs, iters=3)
     dropped = cc.filter(F.col("id") != F.col("component")).select(
@@ -2591,7 +2686,7 @@ def docs_hash_split(spark, sf_dir):
     corpus AS MATERIALIZED (
       SELECT doc_id, text FROM flt WHERE doc_id IN (SELECT doc_id FROM keep)
     ),
-    {_ND_CHAIN_CTES},
+    {_nd_chain_ctes(50)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
@@ -2705,8 +2800,11 @@ def docs_training_corpus(spark, sf_dir):
     # quality_score already rounds to 6 dp (oracle parity)
     flt = raw.filter(quality_score(F.col("text")) >= 0.5)
     surv = exact_dedup(flt).localCheckpoint(eager=False)
+    # max_doc_freq=50: boilerplate skew cap wired as in production (no-op
+    # on this corpus; the oracle replays the capped shingle table)
     pairs = minhash_dedup_pairs(
-        surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8, family="md5"
+        surv.select("doc_id", "text"), threshold=0.5, num_hashes=16, bands=8,
+        max_doc_freq=50, family="md5",
     )
     cc = connected_components(pairs, iters=3)
     dropped = cc.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))

@@ -400,3 +400,52 @@ def test_hash_split_stable_and_partition_invariant(spark):
 
     with pytest.raises(ValueError):
         hash_split(df, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_max_doc_freq_noop_parity(docs):
+    """When no shingle exceeds the cap, the capped chain must return
+    byte-identical pairs to the uncapped chain — the skew defense is free
+    until it actually fires."""
+    kw = dict(threshold=0.3, num_hashes=16, bands=8)
+    uncapped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup_pairs(docs, **kw).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_dedup_pairs(docs, max_doc_freq=100, **kw).collect()
+    }
+    assert uncapped == capped and uncapped  # non-trivial corpus
+
+
+def test_max_doc_freq_bounds_hot_shingle_candidates(spark):
+    """Synthetic boilerplate corpus: every doc shares a 29-word block, so
+    uncapped LSH signatures are dominated by the shared shingles and the
+    candidate join goes quadratic. The cap must provably shrink the
+    candidate set to ~the planted pairs."""
+    boiler = (
+        "the quick brown fox jumps over the lazy dog near the riverbank while "
+        "morning fog settles quietly across the valley floor and birds begin "
+        "their daily chorus of songs"
+    )
+    n = 60
+    rows = [(i, f"{boiler} w{i*7+1} w{i*7+2} w{i*7+3} w{i*7+4} w{i*7+5} w{i*7+6}") for i in range(n)]
+    rows += [(i + 100000, f"{boiler} w{i*7+1} w{i*7+2} w{i*7+3} w{i*7+4} w{i*7+5}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(max_doc_freq):
+        sh = dedup.shingle_table(df, max_doc_freq=max_doc_freq)
+        sigs = dedup.minhash_signatures(sh, num_hashes=16)
+        return dedup.lsh_candidate_pairs(sigs, bands=8, num_hashes=16).count()
+
+    uncapped, capped = n_candidates(None), n_candidates(10)
+    # uncapped: boilerplate shingles dominate every signature -> bucket
+    # collapse toward all-pairs (64 docs -> O(1000s) of candidates)
+    assert uncapped > 10 * capped
+    assert capped <= 4 * 8  # at most planted pairs x bands, no quadratic blowup
+    # and the verified pairs with the cap on are exactly the planted ones
+    pairs = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, num_hashes=16, bands=8, max_doc_freq=10
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(4)}
