@@ -76,7 +76,9 @@ def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
         build_lsh_index,
         centroids_from_labels,
         ivf_topk_indexed,
+        ivf_topk_indexed_batch,
         lsh_topk_indexed,
+        lsh_topk_indexed_batch,
     )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -100,6 +102,19 @@ def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
             ivf_topk_indexed(spark, ivf_path, cents, q, k=10, nprobe=3).collect()
         out["emb_ivf_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
 
+        # batched dispatch: 100 queries in ONE job (cell ranking as a
+        # window, one index scan) — per-query amortized cost must undercut
+        # the one-vector probe above
+        n_batch = 100
+        batch_q = e.orderBy("vec_id").limit(n_batch).selectExpr(
+            "vec_id AS query_id", "embedding AS query_vec"
+        )
+        t0 = time.time()
+        ivf_topk_indexed_batch(
+            spark, ivf_path, cents, batch_q, k=10, nprobe=3
+        ).collect()
+        out["emb_ivf_batch_probe_avg"] = round((time.time() - t0) / n_batch, 4)
+
         t0 = time.time()
         build_lsh_index(e, lsh_path, planes=6)
         out["emb_lsh_index_build"] = round(time.time() - t0, 3)
@@ -107,6 +122,12 @@ def _bench_ann_amortized(spark, sf_dir: str) -> dict[str, float]:
         for q in qvecs:
             lsh_topk_indexed(spark, lsh_path, q, k=10, planes=6).collect()
         out["emb_lsh_probe_avg"] = round((time.time() - t0) / len(qvecs), 3)
+
+        t0 = time.time()
+        lsh_topk_indexed_batch(
+            spark, lsh_path, batch_q, k=10, planes=6
+        ).collect()
+        out["emb_lsh_batch_probe_avg"] = round((time.time() - t0) / n_batch, 4)
     finally:
         shutil.rmtree(ivf_path, ignore_errors=True)
         shutil.rmtree(lsh_path, ignore_errors=True)

@@ -1385,6 +1385,143 @@ def emb_lsh_topk_multi(spark, sf_dir):
 
 
 @_register(
+    "emb_lsh_topk_batch",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (
+      SELECT p, list(val ORDER BY j) AS plane FROM (
+        SELECT p, j,
+               (CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+                 / 2147483648.0 AS val
+        FROM (
+          SELECT p, j, ('0x' || substr(md5((7000 + p) || ':' || j), 1, 8))::BIGINT AS h
+          FROM range(0, 4) pp(p), range(0, 64) jj(j)
+        )
+      ) GROUP BY p
+    ),
+    sigs AS (
+      SELECT vec_id, any_value(v) AS v,
+             sum(CASE WHEN list_dot_product(v, plane) >= 0
+                      THEN (1::BIGINT << p) ELSE 0 END) AS sig
+      FROM e, planes GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM sigs WHERE vec_id < 100)
+    SELECT q.query_id, s.vec_id, round(list_cosine_similarity(s.v, q.qv), 4) AS sim
+    FROM sigs s JOIN q ON s.sig = q.qsig
+    WHERE s.vec_id >= 100
+    QUALIFY row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+    ) <= 5
+    """,
+)
+def emb_lsh_topk_batch(spark, sf_dir):
+    """BATCHED LSH probe (lsh_topk_indexed_batch): 100 query vectors served
+    against the materialized signature-partitioned index in ONE job — each
+    query signed as a column expression (no driver loop, no per-query
+    py_signature), signed queries broadcast into an equi-join on the
+    signature against a single index scan, per-query top-5 via a
+    rank-limit window (WindowGroupLimit). The production dispatch shape:
+    shovel routes per message, ANN serves per query-set. The oracle
+    regenerates the hyperplanes and replays sign → bucket join → window
+    top-k for all 100 queries."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk_indexed_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:batch".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_lsh", tag)
+    try:
+        build_lsh_index(e.filter(F.col("vec_id") >= 100), idx_path, planes=4)
+        queries = e.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = lsh_topk_indexed_batch(
+            spark, idx_path, queries, k=5, planes=4
+        ).select("query_id", "vec_id", F.round("sim", 4).alias("sim"))
+        rows = top.collect()
+        return spark.createDataFrame(rows, top.schema)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+
+@_register(
+    "emb_ivf_topk_batch",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ppos AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e
+    ),
+    cm AS (SELECT label AS cell, pos, avg(val) AS m FROM ppos GROUP BY 1, 2),
+    cents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+    probe AS (
+      SELECT query_id, qv, cell FROM q, cents
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(centroid, qv) DESC, cell
+      ) <= 3
+    ),
+    assigned AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, cents WHERE vec_id >= 100 GROUP BY vec_id
+    )
+    SELECT p.query_id, e.vec_id, round(list_cosine_similarity(e.v, p.qv), 4) AS sim
+    FROM e JOIN assigned a ON e.vec_id = a.vec_id JOIN probe p ON a.cell = p.cell
+    QUALIFY row_number() OVER (
+      PARTITION BY p.query_id
+      ORDER BY list_cosine_similarity(e.v, p.qv) DESC, e.vec_id
+    ) <= 5
+    """,
+)
+def emb_ivf_topk_batch(spark, sf_dir):
+    """BATCHED IVF probe (ivf_topk_indexed_batch): 100 query vectors, cell
+    ranking as a broadcast crossJoin (queries x centroids — both
+    config-sized) + per-query rank-limit window instead of a driver-side
+    collect per query; (query, cell) pairs broadcast into one equi-join
+    against the cell-partitioned index (dynamic partition pruning drops
+    unprobed cells); per-query top-5 via WindowGroupLimit. One job for the
+    whole batch. The oracle replays centroids → per-query nprobe cells →
+    assignment → window top-k."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.similarity import (
+        build_ivf_index,
+        centroids_from_labels,
+        ivf_topk_indexed_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = centroids_from_labels(e)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:batch".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_ivf", tag)
+    try:
+        build_ivf_index(e.filter(F.col("vec_id") >= 100), cents, idx_path)
+        queries = e.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = ivf_topk_indexed_batch(
+            spark, idx_path, cents, queries, k=5, nprobe=3
+        ).select("query_id", "vec_id", F.round("sim", 4).alias("sim"))
+        rows = top.collect()
+        return spark.createDataFrame(rows, top.schema)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+
+@_register(
     "multimodal_image_features",
     """
     WITH m AS (

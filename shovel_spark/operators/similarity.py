@@ -229,6 +229,75 @@ def lsh_topk_indexed(
     return sel.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def lsh_topk_indexed_batch(
+    spark, index_path: str, queries: DataFrame, k: int = 10,
+    planes: int = 8, dim: int = 64, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    partition_bits: int = 8, num_tables: int = 1,
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve a query *DataFrame* against a materialized LSH index in ONE
+    job: (query_id, vec_id, sim) with the top-``k`` per query.
+
+    The scalable form of :func:`lsh_topk_indexed` (which takes one vector,
+    computes its signature driver-side, and runs a job per probe —
+    per-message dispatch). Production ANN serves millions of queries: here
+    every query is SIGNED AS A COLUMN EXPRESSION (same
+    hyperplane_signature the build side used — no driver loop, no
+    py_signature calls), the signed queries broadcast into an equi-join on
+    (table, sig_prefix, sig) against ONE index scan, and the per-query
+    top-k is a rank-limit window (WindowGroupLimit — partial top-k before
+    the shuffle).
+
+    Scale shape: index I/O is one scan of the touched partitions TOTAL
+    (not per query); Spark's dynamic partition pruning can drop untouched
+    (table, sig_prefix) directories from the broadcast side. The join
+    output is |bucket collisions|, the only shuffle is the window on
+    query_id, and each (query, candidate) row carries ids + sim, never
+    both vectors. ``num_tables``/``planes``/``seed`` must match the build."""
+    bits = min(planes, partition_bits)
+    per_table = []
+    for t in range(num_tables):
+        sig = hyperplane_signature(F.col(query_vec_col), planes, dim, seed + t)
+        per_table.append(
+            queries.select(
+                F.col(query_id_col), F.col(query_vec_col),
+                F.lit(t).alias("table"), sig.alias("__qsig"),
+            )
+        )
+    signed = per_table[0]
+    for t in per_table[1:]:
+        signed = signed.unionByName(t)
+    signed = signed.withColumn(
+        "sig_prefix",
+        F.shiftright(F.col("__qsig"), planes - bits) if planes > bits else F.col("__qsig"),
+    )
+    idx = spark.read.parquet(index_path)
+    cand = idx.join(
+        F.broadcast(signed),
+        (idx["table"] == signed["table"])
+        & (idx["sig_prefix"] == signed["sig_prefix"])
+        & (idx["sig"] == signed["__qsig"]),
+    )
+    sim = cosine(idx[vec_col], signed[query_vec_col])
+    sel = cand.select(
+        signed[query_id_col].alias(query_id_col),
+        idx[id_col].alias(id_col),
+        sim.alias("sim"),
+    )
+    if num_tables > 1:
+        # ids colliding in several tables appear once per table
+        sel = sel.dropDuplicates([query_id_col, id_col])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sel.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # --- IVF (inverted file / coarse quantization) ---------------------------------
 
 def ivf_assign(
@@ -356,6 +425,50 @@ def ivf_topk_indexed(
         idx.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_indexed_batch(
+    spark, index_path: str, centroids: DataFrame, queries: DataFrame,
+    k: int = 10, nprobe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve a query DataFrame against a materialized IVF index in ONE job:
+    (query_id, vec_id, sim) with the top-``k`` per query.
+
+    The scalable form of :func:`ivf_topk_indexed` (one vector, cells ranked
+    by a driver-side collect, one job per probe). Here cell ranking is a
+    broadcast crossJoin of queries x centroids (|Q| x n_cells rows — both
+    config-sized) with a per-query rank-limit window picking ``nprobe``
+    cells; the (query, cell) pairs broadcast into an equi-join on ``cell``
+    against ONE index scan, and the per-query top-k is a second rank-limit
+    window. No driver-side cell ranking, no per-query job; dynamic
+    partition pruning can drop unprobed cell directories."""
+    from pyspark.sql import Window
+
+    ranked = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col), F.col(query_vec_col), F.col("cell"),
+        cosine(F.col(query_vec_col), F.col("centroid")).alias("__csim"),
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.asc("cell"))
+    probe = (
+        ranked.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    idx = spark.read.parquet(index_path)
+    cand = idx.join(F.broadcast(probe), idx["cell"] == probe["cell"])
+    sim = cosine(idx[vec_col], probe[query_vec_col])
+    sel = cand.select(
+        probe[query_id_col].alias(query_id_col),
+        idx[id_col].alias(id_col),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sel.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -449,3 +449,59 @@ def test_max_doc_freq_bounds_hot_shingle_candidates(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(i, i + 100000) for i in range(4)}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_lsh_batch_probe_matches_single_probes(spark, emb, tmp_path):
+    """lsh_topk_indexed_batch must return, per query row, exactly the rows
+    the one-vector probe returns — batched dispatch changes the economics,
+    never the answer. Plan: per-query top-k via WindowGroupLimit, and no
+    per-query Spark job (single DataFrame)."""
+    idx = str(tmp_path / "lsh")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    similarity.build_lsh_index(corpus, idx, planes=4, num_tables=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = similarity.lsh_topk_indexed_batch(
+        spark, idx, queries, k=5, planes=4, num_tables=2
+    )
+    got = {(r.query_id, r.vec_id): round(r.sim, 9) for r in batch.collect()}
+    for q in emb.filter(F.col("vec_id") < 5).collect():
+        single = similarity.lsh_topk_indexed(
+            spark, idx, [float(x) for x in q.embedding], k=5, planes=4, num_tables=2
+        )
+        exp = {(q.vec_id, r.vec_id): round(r.sim, 9) for r in single.collect()}
+        assert {kk: v for kk, v in got.items() if kk[0] == q.vec_id} == exp
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_batch_probe_matches_single_probes(spark, emb, tmp_path):
+    """ivf_topk_indexed_batch: per-query answers equal the driver-ranked
+    single probe; cell ranking happens as a window (no driver collect) and
+    the index join gets dynamic partition pruning on `cell`."""
+    idx = str(tmp_path / "ivf")
+    cents = similarity.centroids_from_labels(emb)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    similarity.build_ivf_index(corpus, cents, idx)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = similarity.ivf_topk_indexed_batch(
+        spark, idx, cents, queries, k=5, nprobe=3
+    )
+    got = {(r.query_id, r.vec_id): round(r.sim, 9) for r in batch.collect()}
+    for q in emb.filter(F.col("vec_id") < 5).collect():
+        single = similarity.ivf_topk_indexed(
+            spark, idx, cents, [float(x) for x in q.embedding], k=5, nprobe=3
+        )
+        exp = {(q.vec_id, r.vec_id): round(r.sim, 9) for r in single.collect()}
+        assert {kk: v for kk, v in got.items() if kk[0] == q.vec_id} == exp
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "dynamicpruning" in plan or "DynamicPruning" in plan
