@@ -84,5 +84,27 @@ def append_ledger(
     df.coalesce(1).write.mode("append").parquet(ledger_dir)
 
 
+def append_attempts(
+    spark: SparkSession, ledger_dir: str, run_id: str, buckets: list[int]
+) -> None:
+    """One 'attempt' row per bucket this run INTENDS to process — the
+    delivery record (the ack is the 'done' row). A bucket that crashes
+    between attempt and done is re-attempted by the resume, so its nack
+    count is ``attempts - 1`` — the batch analog of a broker redelivery
+    (shovel counts these per worker, reference: src/core/master.js:183-185).
+
+    Buckets that turn out to hold no rows accumulate attempt rows but never
+    a done row; metrics_from_ledger ignores them (nacked is only reported
+    for acked buckets, like a broker only counts redeliveries of real
+    messages)."""
+    if not buckets:
+        return
+    rows = [(run_id, int(b), "attempt", 0, 0, 0, 0, 0, None, None) for b in buckets]
+    df = spark.createDataFrame(rows, LEDGER_SCHEMA).withColumn(
+        "completed_at", F.current_timestamp()
+    )
+    df.coalesce(1).write.mode("append").parquet(ledger_dir)
+
+
 def new_run_id() -> str:
     return _uuid.uuid4().hex[:12]

@@ -154,15 +154,20 @@ def run_resumable(
     ledger_dir = os.path.join(cfg.out_dir, "ledger")
     done = L.read_done_buckets(spark, ledger_dir)
 
+    # the delivery record: every pending bucket this run intends to process
+    # gets an 'attempt' row BEFORE any work — a crash (or the max_buckets
+    # kill simulation) leaves attempts without 'done' acks, and the resume's
+    # re-attempt makes those buckets' nacked = attempts - 1 in
+    # metrics_from_ledger (broker-redelivery semantics)
+    candidates = sorted(set(range(cfg.n_buckets)) - done)
+    L.append_attempts(spark, ledger_dir, run_id, candidates)
+
     routed = build_routed(pages, lang_map, domain_rules, cfg)
     pending_pred = ~F.col("bucket").isin(sorted(done)) if done else F.lit(True)
     pending = routed.filter(pending_pred)
 
     if max_buckets is not None:
-        all_buckets = sorted(
-            set(range(cfg.n_buckets)) - done
-        )[:max_buckets]
-        pending = pending.filter(F.col("bucket").isin(all_buckets))
+        pending = pending.filter(F.col("bucket").isin(candidates[:max_buckets]))
 
     # One distributed pass shared by three consumers (sink writes, per-bucket
     # metrics, ledger counts): repartition by the write's directory-partition
@@ -263,12 +268,15 @@ def run_resumable_bucketed(
     ledger_dir = os.path.join(cfg.out_dir, "ledger")
     done = L.read_done_buckets(spark, ledger_dir)
 
+    # delivery records for all pending buckets (see run_resumable)
+    candidates = sorted(set(range(cfg.n_buckets)) - done)
+    L.append_attempts(spark, ledger_dir, run_id, candidates)
+
     pages = read_bucketed(spark, ingest_path)
     if done:
         pages = pages.filter(~F.col("bucket").isin(sorted(done)))  # prunes partitions
     if max_buckets is not None:
-        keep = sorted(set(range(cfg.n_buckets)) - done)[:max_buckets]
-        pages = pages.filter(F.col("bucket").isin(keep))
+        pages = pages.filter(F.col("bucket").isin(candidates[:max_buckets]))
 
     routed = build_routed(pages.drop("bucket"), lang_map, domain_rules, cfg)
     t0 = time.time()
@@ -304,17 +312,35 @@ def run_resumable_bucketed(
 
 def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "pages") -> DataFrame:
     """Pipeline totals reconstructed from the ledger (the reference's
-    cross-worker metric aggregation analog, src/core/aggregated_metrics.js:100-132)."""
-    led = spark.read.parquet(os.path.join(out_dir, "ledger")).filter(F.col("status") == "done")
+    cross-worker metric aggregation analog, src/core/aggregated_metrics.js:100-132).
+
+    ``nacked`` is derived, per acked bucket, as (attempt rows - 1): a bucket
+    re-run after a crash was delivered more than once before its ack — the
+    batch form of a broker redelivery count (src/core/master.js:183-185)."""
+    led_all = spark.read.parquet(os.path.join(out_dir, "ledger"))
+    led = led_all.filter(F.col("status") == "done")
     # Last writer wins per bucket (a re-run replaces the bucket's output).
     # max_by(completed_at) makes "last" deterministic — F.last() in a groupBy
     # has no row-order guarantee across parquet files.
-    latest = led.groupBy("bucket").agg(
-        F.max_by("in_rows", "completed_at").alias("in_rows"),
-        F.max_by("acked", "completed_at").alias("acked"),
-        F.max_by("nacked", "completed_at").alias("nacked"),
-        F.max_by("ignored", "completed_at").alias("ignored"),
-        F.max_by("rejected", "completed_at").alias("rejected"),
+    attempts = (
+        led_all.filter(F.col("status") == "attempt")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__attempts"))
+    )
+    latest = (
+        led.groupBy("bucket")
+        .agg(
+            F.max_by("in_rows", "completed_at").alias("in_rows"),
+            F.max_by("acked", "completed_at").alias("acked"),
+            F.max_by("ignored", "completed_at").alias("ignored"),
+            F.max_by("rejected", "completed_at").alias("rejected"),
+        )
+        # pre-attempt-row ledgers have no attempt records -> nacked 0
+        .join(attempts, "bucket", "left")
+        .withColumn(
+            "nacked",
+            F.greatest(F.coalesce(F.col("__attempts"), F.lit(1)) - 1, F.lit(0)),
+        )
     )
     return latest.agg(
         F.lit(pipeline).alias("pipeline"),

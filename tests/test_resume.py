@@ -47,7 +47,7 @@ def test_resume_equals_single_run(spark, tmp_path):
         assert got == g, f"sink {sink} diverged after resume"
 
     led = spark.read.parquet(os.path.join(cfg.out_dir, "ledger"))
-    per_bucket = led.groupBy("bucket").count().collect()
+    per_bucket = led.filter(F.col("status") == "done").groupBy("bucket").count().collect()
     assert all(r["count"] == 1 for r in per_bucket)  # each bucket done exactly once
     assert len(per_bucket) == B
 
@@ -55,6 +55,10 @@ def test_resume_equals_single_run(spark, tmp_path):
     gm = metrics_from_ledger(spark, golden_cfg.out_dir).first()
     assert m["in_rows"] == gm["in_rows"] == N
     assert (m["acked"], m["ignored"], m["rejected"]) == (gm["acked"], gm["ignored"], gm["rejected"])
+    # broker-redelivery analog: the B-3 buckets killed before their ack were
+    # re-attempted by the resume -> one nack each; a clean run nacks nothing
+    assert m["nacked"] == B - 3
+    assert gm["nacked"] == 0
 
 
 def test_rerun_of_unacked_bucket_overwrites_not_appends(spark, tmp_path):
