@@ -208,6 +208,56 @@ def _bench_wide_fanout(spark, n_rows: int = 200_000, n_sinks: int = 12) -> float
     return elapsed
 
 
+def _bench_neardup_scale(spark, sf_dir: str) -> dict:
+    """Scale-stress the MinHash near-dup chain beyond the oracle's sf0.01:
+    all sf0.1 documents get a 21-word boilerplate block prepended (every
+    shingle in it lands in ~10.5k docs — the quadratic hot-bucket threat),
+    plus 10% planted near-dup copies. Reports candidate-pair counts with
+    the doc-frequency cap off vs on (the quadratic-defense evidence) and
+    the wall time of the full capped chain (pairs + clusters-to-
+    convergence)."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for daily updates and follow us on "
+        "social media platforms for the latest breaking news coverage today"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.withColumn("text", F.concat_ws(" ", F.lit(boiler), F.col("text")))
+    near = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" trailing marker token")))
+    )
+    corpus = base.unionByName(near).localCheckpoint()
+    cap = 100
+    out: dict = {"neardup_corpus_docs": corpus.count()}
+    for label, mdf in (("uncapped", None), ("capped", cap)):
+        sh = shingle_table(corpus, max_doc_freq=mdf)
+        sigs = minhash_signatures(sh, num_hashes=16)
+        t0 = time.time()
+        out[f"neardup_candidates_{label}"] = lsh_candidate_pairs(
+            sigs, bands=8, num_hashes=16
+        ).count()
+        out[f"neardup_candidates_{label}_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    pairs = minhash_dedup_pairs(
+        corpus, threshold=0.7, num_hashes=16, bands=8, max_doc_freq=cap
+    ).localCheckpoint()  # clusters must not re-run pair generation
+    out["neardup_pairs"] = pairs.count()
+    out["neardup_clusters"] = dup_clusters(pairs).count()
+    out["neardup_chain_capped_sec"] = round(time.time() - t0, 3)
+    return out
+
+
 def main_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -264,6 +314,10 @@ def main_default() -> None:
     timings.update(_bench_ann_amortized(spark, sf_dir))
     timings.update(_bench_prefilter(spark))
     timings["fanout_write_12_sinks"] = round(_bench_wide_fanout(spark), 3)
+    # near-dup scale stress: counts (pairs/candidates) are NOT seconds, so
+    # they ride top-level, only the chain's wall time joins `timings`
+    neardup = _bench_neardup_scale(spark, sf_dir)
+    timings["neardup_chain_capped_2x_docs"] = neardup.pop("neardup_chain_capped_sec")
     spark.stop()
 
     print(
@@ -276,6 +330,7 @@ def main_default() -> None:
                 "sf": sf,
                 "pipeline_docs_per_sec": round(docs_per_sec),
                 "pipeline_write_docs_per_sec": round(write_docs_per_sec),
+                "neardup_scale": neardup,
                 "cpus": cpus,
             }
         )
