@@ -29,6 +29,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_lsh_topk_batch",
     "emb_ivf_topk_batch",
     "docs_minhash_capped_pairs",
+    "docs_incremental_neardup",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",
     "docs_crawl_refresh",

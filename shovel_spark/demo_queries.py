@@ -1036,6 +1036,70 @@ def docs_minhash_near_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@_register(
+    "docs_incremental_neardup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id < 10
+    ),
+    {_nd_chain_ctes()}
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM pairs WHERE id_b >= 300 ORDER BY id_a, id_b
+    """,
+)
+def docs_incremental_neardup(spark, sf_dir):
+    """INCREMENTAL near-dup detection (build_minhash_index →
+    incremental_minhash_pairs): the corpus (docs < 300) is signed ONCE into
+    a standing index (banded bucket keys + hashed shingle sets — text never
+    stored); the delta batch (docs 300-499 plus planted near-dup copies of
+    corpus docs) is then deduped against it with delta-sized work — no
+    corpus re-shingle, no re-sign. The daily-crawl economics at 100 TB:
+    O(delta + collisions) per batch instead of O(corpus). Contract: output
+    equals the FULL-corpus MinHash chain restricted to pairs involving the
+    delta (the oracle replays the full chain and applies that restriction;
+    delta ids are all >= 300, corpus ids < 300, so id_b >= 300 is exactly
+    'touches the delta')."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 300)
+    delta = (
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 10)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", _drop_first_word("text"))
+        )
+    )
+    kw = dict(k=3, num_hashes=16, bands=8, family="md5")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:inc".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_mh", tag)
+    try:
+        build_minhash_index(corpus, idx_path, **kw)
+        pairs = incremental_minhash_pairs(
+            spark, idx_path, delta, threshold=0.5, **kw
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy(
+            "id_a", "id_b"
+        )
+        rows = pairs.collect()
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+
 #: 29-word boilerplate every doc in the capped-pairs corpus shares — the
 #: planted hot-shingle skew the max_doc_freq cap exists to defuse.
 _BOILER = (

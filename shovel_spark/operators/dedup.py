@@ -187,19 +187,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     num_hashes: int | None = None,
     family: str = "xxhash64",
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band-slice of their signature become a
-    candidate pair. Join key is (band, hash-of-slice) — equi-join, shuffle
-    on a compact key, AQE handles residual bucket skew.
-
-    Pass ``num_hashes`` (the signature length) explicitly — omitting it
-    costs a driver-side .first() job just to learn the array size."""
+    """(id, band, bucket) rows — each doc's banded signature slices hashed
+    to compact bucket keys. The LSH join table: docs colliding on any
+    (band, bucket) are candidates. Shared by the one-shot
+    :func:`lsh_candidate_pairs` and the standing index
+    (:func:`build_minhash_index` / :func:`incremental_minhash_pairs`)."""
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, n // bands)
 
@@ -214,7 +213,7 @@ def lsh_candidate_pairs(
         # compact 16-byte key either way; md5 family keeps it engine-neutral
         return F.md5(slice_key) if family == "md5" else F.xxhash64(slice_key)
 
-    buckets = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -225,6 +224,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int | None = None,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-slice of their signature become a
+    candidate pair. Join key is (band, hash-of-slice) — equi-join, shuffle
+    on a compact key, AQE handles residual bucket skew.
+
+    Pass ``num_hashes`` (the signature length) explicitly — omitting it
+    costs a driver-side .first() job just to learn the array size."""
+    buckets = band_buckets(sigs, id_col, bands, num_hashes, family)
     x, y = buckets.alias("x"), buckets.alias("y")
     return (
         x.join(
@@ -270,6 +285,144 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _shingle_key(shingle: Column, family: str) -> Column:
+    """Compact per-shingle key for index storage: the shingle STRING never
+    lands on disk or in a shuffle (at 100 TB the shingle universe is
+    billions of short strings). md5 keeps it engine-neutral for oracles;
+    xxhash64 is the compact production default. Set cardinalities (and
+    hence Jaccard) survive hashing — collisions are negligible and
+    deterministic."""
+    return F.md5(shingle) if family == "md5" else F.xxhash64(shingle)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    family: str = "xxhash64",
+) -> None:
+    """Materialize the standing MinHash index a 100 TB corpus amortizes:
+    sign the corpus ONCE and store two compact tables under ``path`` —
+    ``buckets/`` (id, band, bucket: the LSH join keys, band-partitioned)
+    and ``shingles/`` (id, shingle key: what exact-Jaccard verification
+    needs). Document text never enters the index.
+
+    After this, deduping a new crawl batch is :func:`incremental_minhash_pairs`
+    — delta-sized work joined against these tables — instead of re-signing
+    the whole corpus per batch (the full-recompute cost this index
+    amortizes away; shovel's queue replays deltas the same way,
+    reference: src/queues/batch.js:84-95)."""
+    sh = shingle_table(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, id_col, num_hashes, family)
+    (
+        band_buckets(sigs, id_col, bands, num_hashes, family)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/buckets")
+    )
+    (
+        sh.select(F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+
+
+def incremental_minhash_pairs(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    family: str = "xxhash64",
+    update_index: bool = False,
+) -> DataFrame:
+    """Near-dup pairs for a DELTA batch against a standing MinHash index
+    (:func:`build_minhash_index`): every (id_a, id_b, jaccard) pair with
+    at least one delta doc — delta x corpus collisions AND delta x delta —
+    WITHOUT re-shingling or re-signing the corpus. The incremental form of
+    :func:`minhash_dedup_pairs`: given the same (k, num_hashes, bands,
+    family), its output equals the full-corpus run restricted to pairs
+    involving the delta (parity pytest-asserted).
+
+    Scale shape: only the delta is shingled/signed; candidates come from
+    one equi-join of delta buckets against the band-partitioned index
+    buckets (shuffle carries 16-byte keys + ids); verification joins
+    hashed shingle sets for candidate ids only. Daily-crawl cost is
+    O(delta + collisions), not O(corpus).
+
+    Delta ids must be disjoint from indexed ids (a re-crawled URL should
+    go through snapshot upsert first — operators/merge.py).
+    ``update_index=True`` appends the delta's buckets and shingles after
+    pair computation, so the next batch dedupes against corpus + this one.
+    """
+    new_sh = shingle_table(new_df, text_col, id_col, k).localCheckpoint(eager=False)
+    new_sigs = minhash_signatures(new_sh, id_col, num_hashes, family)
+    new_buckets = band_buckets(new_sigs, id_col, bands, num_hashes, family).localCheckpoint(
+        eager=False
+    )
+    new_keys = new_sh.select(
+        F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk")
+    )
+
+    idx_buckets = spark.read.parquet(f"{index_path}/buckets")
+    idx_keys = spark.read.parquet(f"{index_path}/shingles")
+
+    nb, ib = new_buckets.alias("n"), idx_buckets.alias("i")
+    cross = (
+        nb.join(
+            ib,
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"i.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"i.{id_col}")).alias("id_b"),
+        )
+    )
+    x, y = new_buckets.alias("x"), new_buckets.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+    cand = cross.unionByName(within).distinct()
+
+    # verification over the UNION of stored + delta shingle keys — sizes and
+    # intersections computed exactly as minhash_dedup_pairs does on strings
+    all_keys = idx_keys.unionByName(new_keys)
+    sizes = all_keys.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = all_keys.alias("a"), all_keys.alias("b")
+    common = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, (cand.id_b == F.col(f"b.{id_col}")) & (F.col("a.shk") == F.col("b.shk")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    pairs = (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if update_index:
+        # materialize pairs BEFORE appending — the append must not race the
+        # candidate join's own read of the index
+        pairs = pairs.localCheckpoint()
+        new_buckets.write.mode("append").partitionBy("band").parquet(f"{index_path}/buckets")
+        new_keys.write.mode("append").parquet(f"{index_path}/shingles")
+    return pairs
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -505,3 +505,41 @@ def test_ivf_batch_probe_matches_single_probes(spark, emb, tmp_path):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "dynamicpruning" in plan or "DynamicPruning" in plan
+
+
+def test_incremental_minhash_equals_full_run_restricted(spark, tmp_path):
+    """The incremental probe's contract: pairs for a delta batch against a
+    standing index == the full-corpus chain restricted to pairs involving
+    the delta. Also: update_index makes batch-2 find near-dups of batch-1."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}") for i in range(20)]
+        + [(50, BASE), (51, "completely different content about engines")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, BASE), (101, BASE.replace("lazy", "sleepy")), (102, "novel text here entirely")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh")
+    kw = dict(k=3, num_hashes=16, bands=8)
+    dedup.build_minhash_index(corpus, idx, **kw)
+    inc = dedup.incremental_minhash_pairs(spark, idx, delta, threshold=0.3, **kw)
+    got = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in inc.collect()}
+    full = dedup.minhash_dedup_pairs(corpus.unionByName(delta), threshold=0.3, **kw)
+    exp = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in full.collect()
+        if r.id_a >= 100 or r.id_b >= 100
+    }
+    assert got == exp
+    assert (50, 100) in got  # cross-batch exact dup found
+    assert (100, 101) in got  # within-delta near dup found
+
+    # append batch 1, probe batch 2: its dup of doc 100 must surface
+    dedup.incremental_minhash_pairs(
+        spark, idx, delta, threshold=0.3, update_index=True, **kw
+    ).count()
+    delta2 = spark.createDataFrame([(200, BASE)], "doc_id long, text string")
+    inc2 = dedup.incremental_minhash_pairs(spark, idx, delta2, threshold=0.3, **kw)
+    got2 = {(r.id_a, r.id_b) for r in inc2.collect()}
+    assert (100, 200) in got2 and (50, 200) in got2
