@@ -318,17 +318,50 @@ def build_minhash_index(
     the whole corpus per batch (the full-recompute cost this index
     amortizes away; shovel's queue replays deltas the same way,
     reference: src/queues/batch.js:84-95)."""
+    _write_minhash_index(
+        df, path, "overwrite", text_col, id_col, k, num_hashes, bands, family
+    )
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    family: str = "xxhash64",
+) -> None:
+    """Append a batch's buckets and shingle keys to a standing index built
+    with the SAME (k, num_hashes, bands, family) — the survivors-only
+    update an ingest stream performs after dropping a batch's near-dups
+    (dup docs must not pollute the index with their buckets)."""
+    _write_minhash_index(df, path, "append", text_col, id_col, k, num_hashes, bands, family)
+
+
+def _write_minhash_index(
+    df: DataFrame,
+    path: str,
+    mode: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    family: str,
+) -> None:
     sh = shingle_table(df, text_col, id_col, k)
     sigs = minhash_signatures(sh, id_col, num_hashes, family)
     (
         band_buckets(sigs, id_col, bands, num_hashes, family)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("band")
         .parquet(f"{path}/buckets")
     )
     (
         sh.select(F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
 

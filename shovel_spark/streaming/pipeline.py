@@ -106,3 +106,91 @@ def run_windowed_metrics_once(
         .start()
     )
     q.awaitTermination()
+
+
+def run_neardup_ingest_once(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    family: str = "xxhash64",
+    schema: str = "doc_id long, text string",
+) -> None:
+    """Streaming near-dup-filtered ingest: each micro-batch is deduped
+    against EVERYTHING already ingested (the standing MinHash index) plus
+    itself, survivors land in ``out_dir`` and join the index — so a
+    near-dup arriving hours or days after its original is still dropped.
+    The streaming composition of build_minhash_index /
+    incremental_minhash_pairs (operators/dedup.py); membership state lives
+    in the index, the consumed-files state in the stream checkpoint (the
+    queue-dedupe analog over CONTENT identity, where dropDuplicates over
+    canonical_url covers exact URL identity).
+
+    Drop policy: first-wins across batches (anything already in the index
+    is canonical — its late-arriving near-dups drop regardless of id
+    order), lowest-id-wins within a batch. Per batch the work is
+    O(batch + collisions): the corpus is never re-shingled.
+
+    Trigger.AvailableNow semantics like run_stream_once: process what's
+    there, then stop; re-invocations resume from the checkpoint.
+    """
+    import os as _os
+
+    from shovel_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+    )
+
+    mh_kw = dict(
+        text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, bands=bands, family=family,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # stable across the multiple passes below
+        have_index = _os.path.exists(_os.path.join(index_path, "buckets"))
+        if have_index:
+            pairs = incremental_minhash_pairs(
+                spark, index_path, batch_df, threshold=threshold, **mh_kw
+            )
+            batch_ids = batch_df.select(F.col(id_col).alias("__bid"))
+            b_in = pairs.join(
+                batch_ids, pairs["id_b"] == batch_ids["__bid"], "left"
+            ).select("id_a", "id_b", F.col("__bid").isNotNull().alias("__b_in_batch"))
+            # id_b in batch: within-batch pair (drop the higher id) or cross
+            # pair with the batch doc on the high side (drop the batch side)
+            # — either way id_b drops. id_b NOT in batch: cross pair with
+            # the batch doc on the LOW side; the indexed id_b is already
+            # ingested and canonical (first-wins), so the batch id_a drops.
+            drop = b_in.select(
+                F.when(F.col("__b_in_batch"), F.col("id_b"))
+                .otherwise(F.col("id_a"))
+                .alias(id_col)
+            ).distinct()
+        else:
+            pairs = minhash_dedup_pairs(batch_df, threshold=threshold, **mh_kw)
+            drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint()
+        survivors.write.mode("append").parquet(_os.path.join(out_dir, "docs"))
+        if have_index:
+            append_to_minhash_index(survivors, index_path, **mh_kw)
+        else:
+            build_minhash_index(survivors, index_path, **mh_kw)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

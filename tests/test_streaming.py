@@ -136,3 +136,46 @@ def test_stream_dedups_by_canonical_url(spark, tmp_path):
     # a noisy re-fetch of page 1 in a later batch is a duplicate; page 2 is new
     got2 = arrivals([("HTTPS://A.com:443/p/1?a=1&b=2#f", 10), ("https://a.com/p/2", 2)])
     assert got2 == {("https://a.com/p/1?a=1&b=2", 1), ("https://a.com/p/2", 2)}
+
+
+def test_stream_neardup_ingest_across_batches(spark, tmp_path):
+    """Streaming near-dup-filtered ingest (run_neardup_ingest_once): a
+    micro-batch's docs are deduped against every PREVIOUS batch via the
+    standing MinHash index (first-wins) and against themselves
+    (lowest-id-wins); survivors extend the index so later batches see them."""
+    from shovel_spark.streaming.pipeline import run_neardup_ingest_once
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    other = "completely different content about spark query engines and shuffles here"
+
+    # batch 1: an original, its within-batch near-dup, and an unrelated doc
+    spark.createDataFrame(
+        [(10, base), (11, base.replace("lazy", "sleepy")), (12, other)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(inp)
+    run_neardup_ingest_once(spark, inp, idx, out, ckpt, threshold=0.3)
+    ingested = {r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()}
+    assert ingested == {10, 12}  # 11 dropped within-batch
+
+    # batch 2: a LOWER-id near-dup of the already-ingested doc 10 (first-wins
+    # must drop it despite the lower id), plus a genuinely new doc
+    spark.createDataFrame(
+        [(1, base + " extra"), (20, "entirely novel words appear in this row")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(inp)
+    run_neardup_ingest_once(spark, inp, idx, out, ckpt, threshold=0.3)
+    ingested = {r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()}
+    assert ingested == {10, 12, 20}  # doc 1 dropped vs the standing index
+
+    # batch 3: near-dup of batch-2's survivor — the index kept growing
+    spark.createDataFrame(
+        [(30, "entirely novel words appear in this row too")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(inp)
+    run_neardup_ingest_once(spark, inp, idx, out, ckpt, threshold=0.3)
+    ingested = {r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()}
+    assert ingested == {10, 12, 20}
