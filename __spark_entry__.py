@@ -30,6 +30,8 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_ivf_topk_batch",
     "docs_minhash_capped_pairs",
     "docs_incremental_neardup",
+    "docs_repeated_spans",
+    "docs_resolve_best_quality",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",
     "docs_crawl_refresh",

@@ -1100,6 +1100,114 @@ def docs_incremental_neardup(spark, sf_dir):
         shutil.rmtree(idx_path, ignore_errors=True)
 
 
+@_register(
+    "docs_repeated_spans",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    sp AS (
+      SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS h
+      FROM (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM w
+      )
+    ),
+    agg AS (
+      SELECT h, count(*) AS c, count(DISTINCT doc_id) AS nd
+      FROM sp GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT nd AS n_docs, count(*) AS n_spans,
+           CAST(sum(c) AS BIGINT) AS total_occurrences
+    FROM agg GROUP BY 1
+    """,
+)
+def docs_repeated_spans(spark, sf_dir):
+    """Exact repeated-passage fingerprinting (dedup.repeated_spans): every
+    5-token window hashed (stride 1), spans occurring 2+ times reported —
+    the span-wise exact-substring dedup signal (repeated boilerplate
+    passages inside otherwise-unique pages, the memorization risk doc-level
+    dedup misses). Result profiled by span doc-spread. The md5 span keys
+    let the oracle replay the identical fingerprinting; span text never
+    shuffles in either engine."""
+    from shovel_spark.operators.dedup import repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = repeated_spans(d, span_tokens=5, min_count=2, family="md5")
+    return spans.groupBy("n_docs").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("n_occurrences").alias("total_occurrences"),
+    )
+
+
+@_register(
+    "docs_resolve_best_quality",
+    f"""
+    WITH corpus AS ({_ND_CORPUS_SQL}),
+    {_nd_chain_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l0 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l0 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l1 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l1 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l2 l LEFT JOIN edges e ON e.src = l.id LEFT JOIN l2 ln ON ln.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    ranked AS (
+      SELECT c.id, row_number() OVER (
+        PARTITION BY c.label ORDER BY length(x.text) DESC, c.id ASC
+      ) AS rn
+      FROM l3 c JOIN corpus x ON x.doc_id = c.id
+    ),
+    kept AS (
+      SELECT * FROM corpus
+      WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+    )
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(length(text)) AS BIGINT) AS chars_kept
+    FROM kept
+    """,
+)
+def docs_resolve_best_quality(spark, sf_dir):
+    """Canonical selection by QUALITY (dedup.resolve_duplicates): each
+    near-dup cluster keeps its highest-quality member (here: longest text,
+    lowest id on ties) instead of dup_clusters' lowest-id policy — the
+    survivor policy a production pipeline actually wants (near-dup families
+    keep the fullest copy). On THIS corpus the two policies agree (planted
+    copies dropped their first word, so the original is both lower-id and
+    longer) — the oracle pins the chain+CC+ranking mechanics; the policy
+    DISAGREEMENT case is pinned by the unit test
+    (test_resolve_duplicates_keeps_best_quality). Oracle replays the full
+    MinHash chain, 3 label-propagation rounds, and the quality ranking."""
+    from shovel_spark.operators.dedup import minhash_dedup_pairs, resolve_duplicates
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, threshold=0.5, num_hashes=16, bands=8, family="md5"
+    )
+    kept = resolve_duplicates(
+        corpus.withColumn("q", F.length("text")), pairs, "q", iters=3
+    )
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(F.length("text")).alias("chars_kept"),
+    )
+
+
 #: 29-word boilerplate every doc in the capped-pairs corpus shares — the
 #: planted hot-shingle skew the max_doc_freq cap exists to defuse.
 _BOILER = (

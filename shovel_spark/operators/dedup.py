@@ -666,6 +666,85 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    min_count: int = 2,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Exact repeated-passage detection: every ``span_tokens``-token window
+    (stride 1) is fingerprinted, and spans occurring ``min_count``+ times
+    corpus-wide are reported as (span_hash, n_occurrences, n_docs,
+    first_doc) — the hash-fingerprint form of exact substring dedup
+    (memorization-prone repeated passages are removed span-wise, not
+    doc-wise, because boilerplate repeats inside otherwise-unique pages).
+
+    Scale shape: one token-array projection, one explode to ~one row per
+    corpus TOKEN POSITION carrying (8-byte hash, id) — the standard
+    hash-fingerprint alternative to a distributed suffix array — then one
+    map-side-combined groupBy on the hash. Span text never shuffles. A doc
+    shorter than ``span_tokens`` contributes its single whole-text span
+    (same clamp convention as shingle_table). NULL ids/text are excluded.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    )
+    n = F.size("__w")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (span_tokens - 1), F.lit(1))),
+        lambda i: _shingle_key(F.array_join(F.slice("__w", i, span_tokens), " "), family),
+    )
+    ex = base.select(F.col(id_col), F.explode(spans).alias("span_hash"))
+    return (
+        ex.groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    iters: int | None = None,
+) -> DataFrame:
+    """Keep the BEST row per near-dup cluster (highest ``quality_col``,
+    lowest id on ties) — the production canonical-selection policy:
+    :func:`dup_clusters` keeps the lowest id, but a real pipeline keeps
+    the longest / highest-quality member of each boilerplate family.
+    Non-clustered rows pass through untouched.
+
+    Shape: connected components over the pairs (ids only), one broadcast-
+    sized join to fetch each clustered id's quality, a per-component
+    max_by, then a left-anti join dropping the losers — document text
+    never shuffles; only (id, component, quality) rows do."""
+    cc = connected_components(pairs, iters=iters)
+    q = df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    best = (
+        cc.join(q, cc["id"] == q[id_col])
+        .groupBy("component")
+        # max_by struct: quality desc, then id asc (negate id for the max)
+        .agg(F.max_by("id", F.struct(F.col("__q"), -F.col("id"))).alias("__keep"))
+        .select(F.col("__keep"))
+    )
+    losers = cc.join(best, cc["id"] == best["__keep"], "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def dup_clusters(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", iters: int | None = None
 ) -> DataFrame:

@@ -543,3 +543,36 @@ def test_incremental_minhash_equals_full_run_restricted(spark, tmp_path):
     inc2 = dedup.incremental_minhash_pairs(spark, idx, delta2, threshold=0.3, **kw)
     got2 = {(r.id_a, r.id_b) for r in inc2.collect()}
     assert (100, 200) in got2 and (50, 200) in got2
+
+
+def test_repeated_spans_finds_shared_passages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d q"),   # shares the 4-token span "a b c d"
+            (3, "solo"),            # short doc -> single whole-text span
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.repeated_spans(df, span_tokens=4, min_count=2).collect()
+    assert sorted((r.n_occurrences, r.n_docs, r.first_doc) for r in out) == [
+        (2, 2, 1),  # "a b c d" in docs 1 and 2
+        (2, 2, 3),  # "solo" whole-text span in docs 3 and 4
+    ]
+    # self-repetition inside ONE doc still counts occurrences
+    rep = spark.createDataFrame([(9, "p q p q p q p q")], "doc_id long, text string")
+    r = dedup.repeated_spans(rep, span_tokens=2, min_count=3).collect()
+    assert any(row.n_docs == 1 and row.n_occurrences >= 3 for row in r)
+
+
+def test_resolve_duplicates_keeps_best_quality(spark):
+    df = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (7, 0.2), (8, 0.95), (9, 0.1)],
+        "doc_id long, q double",
+    )
+    # clusters {1,2,3} (chain) and {7,8}; 9 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup.resolve_duplicates(df, pairs, "q").collect())
+    # {1,2,3}: q ties at 0.9 -> lowest id 2; {7,8}: 8 wins on quality
+    assert kept == [2, 8, 9]
