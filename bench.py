@@ -380,8 +380,21 @@ def main_scaling(n_low: int | None = None, n_pages: int | None = None) -> None:
     print(json.dumps(out))
 
 
+#: everything from this marker on survives a --scaling rewrite — the
+#: cross-round variance/triage record lives below it
+_KEEP_MARKER = "## Cross-round variance record"
+
+
 def _write_baseline_md(n_low, n_high, n_pages, results, eff) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    kept = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if _KEEP_MARKER in old:
+            kept = "\n" + old[old.index(_KEEP_MARKER) :]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers (sandbox)
@@ -422,6 +435,7 @@ At a 1000-executor x 8-core cluster the native path projects to O(10^8-10^9)
 docs/sec of parse bandwidth — 10^12 docs in under an hour of parse+route,
 scan-bound in practice.
 """
+            + kept
         )
 
 
