@@ -32,6 +32,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_incremental_neardup",
     "docs_repeated_spans",
     "docs_resolve_best_quality",
+    "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",
     "docs_crawl_refresh",

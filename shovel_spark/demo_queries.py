@@ -2315,6 +2315,41 @@ def grok_log_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "xml_roundtrip",
+    """
+    SELECT event_type AS etype, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum, max(event_id) AS max_eid
+    FROM events GROUP BY 1
+    """,
+)
+def xml_roundtrip(spark, sf_dir):
+    """XML codec pair (codecs.decode_xml / encode_xml — Spark 4
+    from_xml/to_xml, JVM-side, no Python): render each event as an XML
+    document, parse the typed fields back out, aggregate; the oracle
+    computes the same aggregates from the raw columns, so any
+    encode/decode drift mismatches. Completes the §2.2 decoder family
+    (json/json5/csv/msgpack/protobuf/xml)."""
+    from shovel_spark.functions.codecs import decode_xml, encode_xml
+
+    ev = _t(spark, sf_dir, "events")
+    xml = encode_xml(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("e"),
+        )
+    )
+    parsed = ev.select(xml.alias("x")).select(
+        decode_xml(F.col("x"), "t STRING, u BIGINT, e BIGINT").alias("s")
+    )
+    return parsed.select("s.*").groupBy(F.col("t").alias("etype")).agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("user_sum"),
+        F.max("e").alias("max_eid"),
+    )
+
+
+@_register(
     "proto_roundtrip",
     """
     SELECT event_type AS etype, count(*) AS n,

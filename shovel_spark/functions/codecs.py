@@ -87,6 +87,25 @@ def encode_base64(col: Column) -> Column:
     return F.base64(col.cast("binary"))
 
 
+# --- xml (decoder-slot family member the reference lacks natively; payloads
+# in the wild are XML often enough — sitemaps, RSS, SOAP — that the codec
+# registry needs the pair. JVM-side from_xml/to_xml: whole-stage codegen,
+# no Python, malformed input -> NULL struct like decode_json)
+
+def decode_xml(col: Column, schema: str, **options: str) -> Column:
+    """Parse an XML string into a typed struct (Spark 4 ``from_xml``).
+    ``schema`` is a DDL string, e.g. ``"a INT, b STRING"``; unparseable
+    input yields a NULL struct (per-row error isolation, same policy as
+    the json decoder)."""
+    return F.from_xml(col, schema, options or None)
+
+
+def encode_xml(col: Column, **options: str) -> Column:
+    """Render a struct as an XML string (``to_xml``); inverse of
+    :func:`decode_xml` for matching schemas."""
+    return F.to_xml(col, options or None)
+
+
 # --- noop (reference: src/decoders/noop.js, src/encoders/noop.js)
 
 def decode_noop(col: Column) -> Column:

@@ -318,3 +318,33 @@ def test_raw_prefilter_before_parse_equivalent_and_selective(spark):
     fast = {(r.user, r.n) for r in parsed(pre).collect()}
     assert fast == full == {("ann", 1), ("dan", 4)}
     assert pre.count() == 4  # the 'en'-only line was dropped raw, pre-parse
+
+
+def test_xml_codec_golden_pairs(spark):
+    """decode_xml/encode_xml: golden parse pairs, roundtrip identity for a
+    matching schema, and per-row NULL isolation on malformed input (same
+    policy as the json decoder)."""
+    from shovel_spark.functions.codecs import decode_xml, encode_xml
+
+    df = spark.createDataFrame(
+        [
+            ("<r><a>7</a><b>hi</b></r>",),
+            ("<r><b>only</b></r>",),       # missing field -> NULL member
+            ("not xml at all <<",),        # malformed -> NULL struct
+        ],
+        "x string",
+    )
+    rows = df.select(decode_xml(F.col("x"), "a INT, b STRING").alias("s")).collect()
+    assert (rows[0].s.a, rows[0].s.b) == (7, "hi")
+    assert rows[1].s.a is None and rows[1].s.b == "only"
+    assert rows[2].s is None or (rows[2].s.a is None and rows[2].s.b is None)
+
+    rt = (
+        spark.range(3)
+        .select(F.struct(F.col("id").alias("a"), F.lit("z").alias("b")).alias("s"))
+        .select(encode_xml(F.col("s")).alias("x"))
+        .select(decode_xml(F.col("x"), "a BIGINT, b STRING").alias("s"))
+        .select("s.*")
+        .collect()
+    )
+    assert [(r.a, r.b) for r in rt] == [(0, "z"), (1, "z"), (2, "z")]
