@@ -31,6 +31,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_minhash_capped_pairs",
     "docs_incremental_neardup",
     "docs_repeated_spans",
+    "docs_excise_spans",
     "docs_resolve_best_quality",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)

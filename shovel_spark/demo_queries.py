@@ -1142,6 +1142,88 @@ def docs_repeated_spans(spark, sf_dir):
 
 
 @_register(
+    "docs_excise_spans",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS h
+      FROM (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 1) + 1)) AS i
+        FROM w
+      )
+    ),
+    hot AS (SELECT h FROM occ GROUP BY 1 HAVING count(*) >= 2),
+    tagged AS (
+      SELECT o.doc_id, o.pos,
+             row_number() OVER (PARTITION BY o.h ORDER BY o.doc_id, o.pos) AS rn
+      FROM occ o JOIN hot USING (h)
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+      FROM tagged WHERE rn > 1
+    ),
+    prot AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+      FROM tagged WHERE rn = 1
+    ),
+    cut AS (
+      SELECT r.doc_id, r.p FROM rm r
+      LEFT JOIN prot q ON r.doc_id = q.doc_id AND r.p = q.p
+      WHERE q.doc_id IS NULL
+    ),
+    tok AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS p, unnest(w) AS t FROM w
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.t FROM tok k
+      LEFT JOIN cut c ON k.doc_id = c.doc_id AND k.p = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS nt FROM kept GROUP BY 1
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(w.text)) AS BIGINT) AS chars_before,
+           CAST(sum(length(coalesce(r.nt, ''))) AS BIGINT) AS chars_after,
+           CAST(sum(CASE WHEN coalesce(r.nt, '') != w.text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed
+    FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+    """,
+)
+def docs_excise_spans(spark, sf_dir):
+    """Span EXCISION (dedup.excise_repeated_spans) — the removal half of
+    exact substring dedup: every 5-token window occurring 2+ times keeps
+    its corpus-wide first occurrence and loses every other occurrence's
+    tokens (first occurrences protect their range against overlapping
+    removals; whitespace-normalized rebuild). The oracle replays the whole
+    policy — occurrence election by (doc, pos), removal/protection sets,
+    token-level rebuild — and the char sums pin the rebuilt text exactly."""
+    from shovel_spark.operators.dedup import excise_repeated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    # tokenizer-normalized baseline: the oracle compares against the
+    # original STRING, so feed text that is already single-spaced (the
+    # testdata is; trim defensively)
+    clean = excise_repeated_spans(
+        d, span_tokens=5, min_count=2, family="md5", out_col="clean"
+    )
+    return clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_before"),
+        F.sum(F.length("clean")).alias("chars_after"),
+        F.sum(
+            F.when(F.col("clean") != F.col("text"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_changed"),
+    )
+
+
+@_register(
     "docs_resolve_best_quality",
     f"""
     WITH corpus AS ({_ND_CORPUS_SQL}),

@@ -713,6 +713,116 @@ def repeated_spans(
     )
 
 
+def excise_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    min_count: int = 2,
+    family: str = "xxhash64",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove repeated passages span-wise (the excision half of exact
+    substring dedup): every ``span_tokens``-token window occurring
+    ``min_count``+ times corpus-wide keeps its FIRST occurrence (lowest
+    (doc_id, position)) and has every other occurrence's tokens cut from
+    the text. Doc-level near-dup removal can't do this — boilerplate
+    repeats INSIDE otherwise-unique pages, and repeated passages are what
+    models memorize.
+
+    Policy details (all deterministic, partition-invariant):
+      - a token survives if it is OUTSIDE every non-first hot-span
+        occurrence, or inside ANY first occurrence (first occurrences
+        protect their full range, including against overlapping removals);
+      - a doc whose every token is excised gets ``''`` (empty string, not
+        NULL — NULL still means "no input text");
+      - surviving tokens are re-joined single-spaced in original order
+        (whitespace is already normalized by the tokenizer).
+
+    Scale shape: token positions explode to ~one row per corpus token
+    carrying (8-byte hash | 16-byte md5, id, pos) — the same footprint as
+    :func:`repeated_spans` plus a position int; first-occurrence election
+    is a map-side-combined min-struct groupBy on the span hash; the
+    rebuild is one groupBy(id) over surviving (pos, token) rows. Span
+    text never shuffles; document text shuffles ONCE, tokenized, for the
+    rebuild.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    out_col = out_col or text_col
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
+        .localCheckpoint(eager=False)  # feeds occurrences AND the rebuild
+    )
+    n = F.size("__w")
+    occ = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (span_tokens - 1), F.lit(1))),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _shingle_key(
+                        F.array_join(F.slice("__w", i, span_tokens), " "), family
+                    ).alias("h"),
+                ),
+            )
+        ).alias("o"),
+    ).select("__id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+    hot = (
+        occ.groupBy("h")
+        .agg(
+            F.count("*").alias("__n"),
+            # lexicographic min over (id, pos): the corpus-wide first
+            # occurrence, deterministic under any partitioning
+            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first"),
+        )
+        .filter(F.col("__n") >= min_count)
+    )
+    tagged = occ.join(hot, "h").select(
+        "__id",
+        "pos",
+        (
+            (F.col("__id") == F.col("first.__id")) & (F.col("pos") == F.col("first.pos"))
+        ).alias("__keep"),
+    )
+    span_range = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))
+    ).alias("p")
+    removed = tagged.filter(~F.col("__keep")).select("__id", span_range).distinct()
+    protected = tagged.filter(F.col("__keep")).select("__id", span_range).distinct()
+    cut = removed.join(protected, ["__id", "p"], "left_anti")
+
+    toks = base.select(
+        "__id", F.posexplode("__w").alias("p0", "__tok")
+    ).withColumn("p", F.col("p0") + 1)
+    rebuilt = (
+        toks.join(cut, ["__id", "p"], "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("__new")
+        )
+    )
+    out = (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__new"), F.lit(""))
+            ),
+        )
+        .drop("__id", "__new")
+    )
+    return out
+
+
 def resolve_duplicates(
     df: DataFrame,
     pairs: DataFrame,

@@ -576,3 +576,56 @@ def test_resolve_duplicates_keeps_best_quality(spark):
     kept = sorted(r.doc_id for r in dedup.resolve_duplicates(df, pairs, "q").collect())
     # {1,2,3}: q ties at 0.9 -> lowest id 2; {7,8}: 8 wins on quality
     assert kept == [2, 8, 9]
+
+
+def _py_excise(docs, k, min_count):
+    """Reference implementation of excise_repeated_spans' policy."""
+    occ = {}  # h -> [(doc, pos)]
+    toks = {d: t.split() for d, t in docs.items() if t is not None}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(max(len(w) - k + 1, 1)):
+            h = " ".join(w[i : i + k])
+            occ.setdefault(h, []).append((d, i))
+    cut = {d: set() for d in toks}
+    protect = {d: set() for d in toks}
+    for h, occs in occ.items():
+        if len(occs) < min_count:
+            continue
+        first = min(occs)
+        for (d, i) in occs:
+            rng = range(i, i + k)
+            (protect if (d, i) == first else cut)[d].update(rng)
+    out = {}
+    for d, w in toks.items():
+        keep = [t for p, t in enumerate(w) if p not in (cut[d] - protect[d])]
+        out[d] = " ".join(keep)
+    for d, t in docs.items():
+        if t is None:
+            out[d] = None
+    return out
+
+
+def test_excise_repeated_spans_matches_python_oracle(spark):
+    docs = {
+        1: "intro words here SPAM SPAM SPAM SPAM closing remarks",
+        2: "other doc start SPAM SPAM SPAM SPAM more content after",
+        3: "clean document without the repeated block at all",
+        4: None,
+        5: "SPAM SPAM SPAM SPAM SPAM SPAM",  # overlapping occurrences
+        6: "edge SPAM SPAM SPAM SPAM",       # occurrence at doc end
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in dedup.excise_repeated_spans(df, span_tokens=4, min_count=2).collect()
+    }
+    assert got == _py_excise(docs, 4, 2)
+    # partition invariance
+    got7 = {
+        r.doc_id: r.text
+        for r in dedup.excise_repeated_spans(
+            df.repartition(7), span_tokens=4, min_count=2
+        ).collect()
+    }
+    assert got7 == got
