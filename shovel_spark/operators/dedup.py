@@ -736,16 +736,18 @@ def excise_repeated_spans(
         protect their full range, including against overlapping removals);
       - a doc whose every token is excised gets ``''`` (empty string, not
         NULL — NULL still means "no input text");
-      - surviving tokens are re-joined single-spaced in original order
-        (whitespace is already normalized by the tokenizer).
+      - ONLY documents that actually lose tokens are rewritten (surviving
+        tokens re-joined single-spaced in original order); untouched
+        documents keep their text BYTE-IDENTICAL — the engine-wide text
+        invariant — so pre-existing whitespace quirks survive in docs the
+        operator didn't cut.
 
     Scale shape: token positions explode to ~one row per corpus token
     carrying (8-byte hash | 16-byte md5, id, pos) — the same footprint as
     :func:`repeated_spans` plus a position int; first-occurrence election
     is a map-side-combined min-struct groupBy on the span hash; the
-    rebuild is one groupBy(id) over surviving (pos, token) rows. Span
-    text never shuffles; document text shuffles ONCE, tokenized, for the
-    rebuild.
+    rebuild groupBy runs over CUT documents only (boilerplate-affected
+    fraction of the corpus, not all of it). Span text never shuffles.
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
@@ -792,11 +794,18 @@ def excise_repeated_spans(
     ).alias("p")
     removed = tagged.filter(~F.col("__keep")).select("__id", span_range).distinct()
     protected = tagged.filter(F.col("__keep")).select("__id", span_range).distinct()
-    cut = removed.join(protected, ["__id", "p"], "left_anti")
+    cut = removed.join(protected, ["__id", "p"], "left_anti").localCheckpoint(
+        eager=False  # feeds the token anti-join AND the touched-doc semi-join
+    )
 
-    toks = base.select(
-        "__id", F.posexplode("__w").alias("p0", "__tok")
-    ).withColumn("p", F.col("p0") + 1)
+    # rebuild ONLY docs that lose at least one token — everyone else keeps
+    # their original string byte-identical and never shuffles tokenized
+    touched = cut.select("__id").distinct()
+    toks = (
+        base.join(touched, "__id", "left_semi")
+        .select("__id", F.posexplode("__w").alias("p0", "__tok"))
+        .withColumn("p", F.col("p0") + 1)
+    )
     rebuilt = (
         toks.join(cut, ["__id", "p"], "left_anti")
         .groupBy("__id")
@@ -810,12 +819,18 @@ def excise_repeated_spans(
             ).alias("__new")
         )
     )
+    # every touched doc gets a rewrite row — a FULLY-excised doc (absent
+    # from `rebuilt`: zero surviving tokens) gets ''; untouched docs have
+    # no row at all and keep their original text byte-identical below
+    rewrites = touched.join(rebuilt, "__id", "left").select(
+        "__id", F.coalesce(F.col("__new"), F.lit("")).alias("__new")
+    )
     out = (
-        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        df.join(rewrites, df[id_col] == rewrites["__id"], "left")
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-                F.coalesce(F.col("__new"), F.lit(""))
+                F.coalesce(F.col("__new"), F.col(text_col))
             ),
         )
         .drop("__id", "__new")

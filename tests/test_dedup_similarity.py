@@ -629,3 +629,24 @@ def test_excise_repeated_spans_matches_python_oracle(spark):
         ).collect()
     }
     assert got7 == got
+
+
+def test_excise_preserves_untouched_docs_byte_identical(spark):
+    """Docs the operator does not cut must come back BYTE-identical (the
+    engine-wide text invariant) — including odd whitespace the tokenizer
+    would normalize; a fully-excised doc yields '' and NULL stays NULL."""
+    docs = {
+        1: "SPAM SPAM SPAM",            # hot span, first occurrence kept
+        2: "SPAM SPAM SPAM",            # fully excised -> ''
+        3: "untouched   doc  with   weird    spacing",
+        4: None,
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in dedup.excise_repeated_spans(df, span_tokens=3, min_count=2).collect()
+    }
+    assert got[1] == "SPAM SPAM SPAM"
+    assert got[2] == ""
+    assert got[3] == "untouched   doc  with   weird    spacing"  # byte-identical
+    assert got[4] is None
