@@ -163,3 +163,52 @@ def test_pagerank_mass_conserved_on_random_digraphs(spark, edges):
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
     floor = (1 - 0.85) / n
     assert all(r["rank"] >= floor - 1e-12 for r in ranks)
+
+
+# --- excise_repeated_spans vs a pure-Python reference on arbitrary corpora --
+
+word = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny vocab -> dense repeats
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+corpus_strategy = st.lists(doc_text, min_size=1, max_size=8)
+
+
+def _py_excise_ref(texts, k, min_count):
+    occ = {}
+    toks = {d: t.split() for d, t in enumerate(texts)}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(max(len(w) - k + 1, 1)):
+            occ.setdefault(" ".join(w[i : i + k]), []).append((d, i))
+    cut = {d: set() for d in toks}
+    protect = {d: set() for d in toks}
+    for h, occs in occ.items():
+        if len(occs) < min_count or h == "":
+            continue
+        first = min(occs)
+        for (d, i) in occs:
+            (protect if (d, i) == first else cut)[d].update(range(i, i + k))
+    return {
+        d: " ".join(t for p, t in enumerate(w) if p not in (cut[d] - protect[d]))
+        for d, w in toks.items()
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=corpus_strategy, k=st.integers(1, 4), min_count=st.integers(2, 3))
+def test_excise_matches_python_reference(spark, corpus, k, min_count):
+    """Arbitrary tiny-vocab corpora (dense overlapping repeats, empty docs,
+    single-token docs): the distributed excision equals the sequential
+    reference policy exactly."""
+    from shovel_spark.operators.dedup import excise_repeated_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in excise_repeated_spans(df, span_tokens=k, min_count=min_count).collect()
+    }
+    ref = _py_excise_ref(corpus, k, min_count)
+    # the reference normalizes; untouched docs come back byte-identical,
+    # which equals the normalized form because inputs are single-spaced
+    assert got == ref
