@@ -1105,7 +1105,7 @@ def docs_incremental_neardup(spark, sf_dir):
     r"""
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
     ),
     sp AS (
       SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS h
@@ -1146,7 +1146,7 @@ def docs_repeated_spans(spark, sf_dir):
     r"""
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text
-      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
     ),
     occ AS (
       SELECT doc_id, i AS pos,
@@ -1205,7 +1205,9 @@ def docs_excise_spans(spark, sf_dir):
     from shovel_spark.operators.dedup import excise_repeated_spans
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & (F.trim(F.col("text")) != "")
     )
     # tokenizer-normalized baseline: the oracle compares against the
     # original STRING, so feed text that is already single-spaced (the

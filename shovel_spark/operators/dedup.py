@@ -332,12 +332,23 @@ def append_to_minhash_index(
     num_hashes: int = 16,
     bands: int = 8,
     family: str = "xxhash64",
+    batch: int | None = None,
 ) -> None:
     """Append a batch's buckets and shingle keys to a standing index built
     with the SAME (k, num_hashes, bands, family) — the survivors-only
     update an ingest stream performs after dropping a batch's near-dups
-    (dup docs must not pollute the index with their buckets)."""
-    _write_minhash_index(df, path, "append", text_col, id_col, k, num_hashes, bands, family)
+    (dup docs must not pollute the index with their buckets).
+
+    Pass ``batch`` (a micro-batch id) for IDEMPOTENT updates: the rows
+    land in a ``__batch=<id>`` partition written with dynamic partition
+    overwrite, so an at-least-once replay of the same batch REPLACES its
+    own partitions instead of duplicating them — required under
+    foreachBatch, where a crash between write and checkpoint commit
+    replays the batch. Plain append (batch=None) is for one-shot jobs
+    that manage their own exactly-once."""
+    _write_minhash_index(
+        df, path, "append", text_col, id_col, k, num_hashes, bands, family, batch
+    )
 
 
 def _write_minhash_index(
@@ -350,20 +361,31 @@ def _write_minhash_index(
     num_hashes: int,
     bands: int,
     family: str,
+    batch: int | None = None,
 ) -> None:
-    sh = shingle_table(df, text_col, id_col, k)
+    # both index tables derive from the shingle table: checkpoint so the
+    # corpus really is scanned/shingled ONCE per build, not once per write
+    sh = shingle_table(df, text_col, id_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, id_col, num_hashes, family)
-    (
-        band_buckets(sigs, id_col, bands, num_hashes, family)
-        .write.mode(mode)
-        .partitionBy("band")
-        .parquet(f"{path}/buckets")
-    )
-    (
-        sh.select(F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk"))
-        .write.mode(mode)
-        .parquet(f"{path}/shingles")
-    )
+    buckets = band_buckets(sigs, id_col, bands, num_hashes, family)
+    keys = sh.select(F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk"))
+    if batch is None:
+        buckets.write.mode(mode).partitionBy("band").parquet(f"{path}/buckets")
+        keys.write.mode(mode).parquet(f"{path}/shingles")
+    else:
+        # batch-keyed partitions + dynamic overwrite = replay-idempotent
+        (
+            buckets.withColumn("__batch", F.lit(int(batch)))
+            .write.mode("overwrite")
+            .partitionBy("__batch", "band")
+            .parquet(f"{path}/buckets")
+        )
+        (
+            keys.withColumn("__batch", F.lit(int(batch)))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(f"{path}/shingles")
+        )
 
 
 def incremental_minhash_pairs(
@@ -407,14 +429,23 @@ def incremental_minhash_pairs(
         F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk")
     )
 
-    idx_buckets = spark.read.parquet(f"{index_path}/buckets")
-    idx_keys = spark.read.parquet(f"{index_path}/shingles")
+    # select the logical columns only: a batch-keyed index (streaming
+    # ingest) carries an extra __batch partition column that must not leak
+    # into the pair math or the unionByName with delta-side keys
+    idx_buckets = spark.read.parquet(f"{index_path}/buckets").select(
+        id_col, "band", "bucket"
+    )
+    idx_keys = spark.read.parquet(f"{index_path}/shingles").select(id_col, "shk")
 
     nb, ib = new_buckets.alias("n"), idx_buckets.alias("i")
     cross = (
         nb.join(
             ib,
-            (F.col("n.band") == F.col("i.band")) & (F.col("n.bucket") == F.col("i.bucket")),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            # a delta doc replayed after its own index append (foreachBatch
+            # at-least-once) matches itself — a self-pair is never a dup
+            & (F.col(f"n.{id_col}") != F.col(f"i.{id_col}")),
         )
         .select(
             F.least(F.col(f"n.{id_col}"), F.col(f"i.{id_col}")).alias("id_a"),
@@ -686,14 +717,21 @@ def repeated_spans(
     hash-fingerprint alternative to a distributed suffix array — then one
     map-side-combined groupBy on the hash. Span text never shuffles. A doc
     shorter than ``span_tokens`` contributes its single whole-text span
-    (same clamp convention as shingle_table). NULL ids/text are excluded.
+    (same clamp convention as shingle_table). NULL ids/text are excluded,
+    and so are EMPTY/whitespace-only texts — tokens('') is [''] and two
+    such docs would otherwise share a phantom hot span (the hash of the
+    empty string).
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     base = (
-        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+        )
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
     )
     n = F.size("__w")
@@ -753,7 +791,14 @@ def excise_repeated_spans(
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     out_col = out_col or text_col
     base = (
-        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        # empty/whitespace-only docs are untouched passthroughs, never span
+        # sources: tokens('') is [''] and >= min_count such docs would share
+        # a phantom hot span (hash of ''), getting rewritten '  ' -> ''
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+        )
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
         .localCheckpoint(eager=False)  # feeds occurrences AND the rebuild
     )
@@ -857,11 +902,16 @@ def resolve_duplicates(
     never shuffles; only (id, component, quality) rows do."""
     cc = connected_components(pairs, iters=iters)
     q = df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    scored = cc.join(q, cc["id"] == q[id_col]).select("component", "id", "__q")
+    # two-stage election, id-type-agnostic (arithmetic negation of the id
+    # would crash under ANSI mode for string/UUID ids): max quality per
+    # component, then min id among the maximal rows
+    mx = scored.groupBy("component").agg(F.max("__q").alias("__mq"))
     best = (
-        cc.join(q, cc["id"] == q[id_col])
+        scored.join(mx, "component")
+        .filter(F.col("__q").eqNullSafe(F.col("__mq")))
         .groupBy("component")
-        # max_by struct: quality desc, then id asc (negate id for the max)
-        .agg(F.max_by("id", F.struct(F.col("__q"), -F.col("id"))).alias("__keep"))
+        .agg(F.min("id").alias("__keep"))
         .select(F.col("__keep"))
     )
     losers = cc.join(best, cc["id"] == best["__keep"], "left_anti").select(

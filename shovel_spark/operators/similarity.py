@@ -415,7 +415,9 @@ def ivf_topk_indexed(
     top_cells = [
         r["cell"]
         for r in centroids.select("cell", cosine(F.col("centroid"), q).alias("s"))
-        .orderBy(F.desc("s"))
+        # asc(cell) tie-break matches ivf_topk_indexed_batch — equidistant
+        # centroids must not make single vs batched probes diverge
+        .orderBy(F.desc("s"), F.asc("cell"))
         .limit(nprobe)
         .collect()
     ]
@@ -488,7 +490,7 @@ def ivf_topk(
     top_cells = [
         r["cell"]
         for r in centroids.select("cell", cosine(F.col("centroid"), q).alias("s"))
-        .orderBy(F.desc("s"))
+        .orderBy(F.desc("s"), F.asc("cell"))
         .limit(nprobe)
         .collect()
     ]

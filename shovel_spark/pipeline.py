@@ -143,24 +143,33 @@ def run_resumable(
     run_id: str | None = None,
     max_buckets: int | None = None,
     lineage: str = "",
+    throttle: bool = False,
 ) -> dict:
     """Resumable run over logical buckets (see ledger.py for the protocol).
 
-    ``max_buckets`` processes only the first K pending buckets — the test
-    suite's crash simulation (kill after K partitions, FIXTURES.md §4).
+    ``max_buckets`` processes only the first K pending buckets. By default
+    that models a CRASH mid-run (the test suite's kill simulation,
+    FIXTURES.md §4): attempt rows are recorded for every pending bucket —
+    the run intended them all — so the unprocessed ones correctly count as
+    redeliveries when a resume re-attempts them. Pass ``throttle=True``
+    when max_buckets is deliberate pacing instead (process K buckets per
+    invocation): attempts are then recorded only for the buckets actually
+    taken, and later invocations accrue no phantom nacks.
     Returns {run_id, processed_buckets, skipped_buckets}.
     """
     run_id = run_id or L.new_run_id()
     ledger_dir = os.path.join(cfg.out_dir, "ledger")
     done = L.read_done_buckets(spark, ledger_dir)
 
-    # the delivery record: every pending bucket this run intends to process
-    # gets an 'attempt' row BEFORE any work — a crash (or the max_buckets
-    # kill simulation) leaves attempts without 'done' acks, and the resume's
-    # re-attempt makes those buckets' nacked = attempts - 1 in
+    # the delivery record: every bucket this run intends to process gets an
+    # 'attempt' row BEFORE any work — attempts without a 'done' ack make
+    # the resume's re-attempt count as nacked = attempts - 1 in
     # metrics_from_ledger (broker-redelivery semantics)
     candidates = sorted(set(range(cfg.n_buckets)) - done)
-    L.append_attempts(spark, ledger_dir, run_id, candidates)
+    intended = (
+        candidates[:max_buckets] if (throttle and max_buckets is not None) else candidates
+    )
+    L.append_attempts(spark, ledger_dir, run_id, intended)
 
     routed = build_routed(pages, lang_map, domain_rules, cfg)
     pending_pred = ~F.col("bucket").isin(sorted(done)) if done else F.lit(True)
@@ -260,17 +269,22 @@ def run_resumable_bucketed(
     cfg: JobConfig,
     run_id: str | None = None,
     max_buckets: int | None = None,
+    throttle: bool = False,
 ) -> dict:
     """run_resumable over a bucketed ingest: done buckets are eliminated by
     partition pruning at the scan (assert: PartitionFilters in the plan),
-    not by a post-read filter."""
+    not by a post-read filter. ``max_buckets``/``throttle`` as in
+    :func:`run_resumable`."""
     run_id = run_id or L.new_run_id()
     ledger_dir = os.path.join(cfg.out_dir, "ledger")
     done = L.read_done_buckets(spark, ledger_dir)
 
-    # delivery records for all pending buckets (see run_resumable)
+    # delivery records for the intended buckets (see run_resumable)
     candidates = sorted(set(range(cfg.n_buckets)) - done)
-    L.append_attempts(spark, ledger_dir, run_id, candidates)
+    intended = (
+        candidates[:max_buckets] if (throttle and max_buckets is not None) else candidates
+    )
+    L.append_attempts(spark, ledger_dir, run_id, intended)
 
     pages = read_bucketed(spark, ingest_path)
     if done:

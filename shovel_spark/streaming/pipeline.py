@@ -138,53 +138,26 @@ def run_neardup_ingest_once(
     order), lowest-id-wins within a batch. Per batch the work is
     O(batch + collisions): the corpus is never re-shingled.
 
+    Replay safety (foreachBatch is at-least-once — a crash between the
+    writes and the checkpoint commit replays the batch): survivors and
+    index segments are written into ``__batch=<id>`` partitions with
+    dynamic partition overwrite, so a replay REPLACES its own partitions
+    instead of duplicating, and a delta doc re-probed after its own index
+    append matches only as an (ignored) self-pair — the replayed batch
+    reproduces the original survivors exactly.
+
     Trigger.AvailableNow semantics like run_stream_once: process what's
     there, then stop; re-invocations resume from the checkpoint.
     """
-    import os as _os
-
-    from shovel_spark.operators.dedup import (
-        append_to_minhash_index,
-        build_minhash_index,
-        incremental_minhash_pairs,
-        minhash_dedup_pairs,
-    )
-
     mh_kw = dict(
         text_col=text_col, id_col=id_col, k=k,
         num_hashes=num_hashes, bands=bands, family=family,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # stable across the multiple passes below
-        have_index = _os.path.exists(_os.path.join(index_path, "buckets"))
-        if have_index:
-            pairs = incremental_minhash_pairs(
-                spark, index_path, batch_df, threshold=threshold, **mh_kw
-            )
-            batch_ids = batch_df.select(F.col(id_col).alias("__bid"))
-            b_in = pairs.join(
-                batch_ids, pairs["id_b"] == batch_ids["__bid"], "left"
-            ).select("id_a", "id_b", F.col("__bid").isNotNull().alias("__b_in_batch"))
-            # id_b in batch: within-batch pair (drop the higher id) or cross
-            # pair with the batch doc on the high side (drop the batch side)
-            # — either way id_b drops. id_b NOT in batch: cross pair with
-            # the batch doc on the LOW side; the indexed id_b is already
-            # ingested and canonical (first-wins), so the batch id_a drops.
-            drop = b_in.select(
-                F.when(F.col("__b_in_batch"), F.col("id_b"))
-                .otherwise(F.col("id_a"))
-                .alias(id_col)
-            ).distinct()
-        else:
-            pairs = minhash_dedup_pairs(batch_df, threshold=threshold, **mh_kw)
-            drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint()
-        survivors.write.mode("append").parquet(_os.path.join(out_dir, "docs"))
-        if have_index:
-            append_to_minhash_index(survivors, index_path, **mh_kw)
-        else:
-            build_minhash_index(survivors, index_path, **mh_kw)
+        _process_neardup_batch(
+            spark, batch_df, batch_id, index_path, out_dir, threshold, id_col, mh_kw
+        )
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     q = (
@@ -194,3 +167,61 @@ def run_neardup_ingest_once(
         .start()
     )
     q.awaitTermination()
+
+
+def _process_neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_dir: str,
+    threshold: float,
+    id_col: str,
+    mh_kw: dict,
+) -> None:
+    """One micro-batch of the near-dup ingest (module-level so replay
+    idempotency is directly testable): dedupe against index + self, write
+    survivors and index segments into ``__batch=<batch_id>`` partitions
+    (dynamic overwrite — re-running the same batch id replaces, never
+    duplicates)."""
+    import os as _os
+
+    from shovel_spark.operators.dedup import (
+        append_to_minhash_index,
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+    )
+
+    batch_df = batch_df.localCheckpoint()  # stable across the passes below
+    have_index = _os.path.exists(_os.path.join(index_path, "buckets"))
+    if have_index:
+        pairs = incremental_minhash_pairs(
+            spark, index_path, batch_df, threshold=threshold, **mh_kw
+        )
+        batch_ids = batch_df.select(F.col(id_col).alias("__bid"))
+        b_in = pairs.join(
+            batch_ids, pairs["id_b"] == batch_ids["__bid"], "left"
+        ).select("id_a", "id_b", F.col("__bid").isNotNull().alias("__b_in_batch"))
+        # id_b in batch: within-batch pair (drop the higher id) or cross
+        # pair with the batch doc on the high side (drop the batch side)
+        # — either way id_b drops. id_b NOT in batch: cross pair with
+        # the batch doc on the LOW side; the indexed id_b is already
+        # ingested and canonical (first-wins), so the batch id_a drops.
+        drop = b_in.select(
+            F.when(F.col("__b_in_batch"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        ).distinct()
+    else:
+        pairs = minhash_dedup_pairs(batch_df, threshold=threshold, **mh_kw)
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint()
+    (
+        survivors.withColumn("__batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(_os.path.join(out_dir, "docs"))
+    )
+    # batch-keyed from batch 0 on (uniform index schema; dynamic overwrite
+    # creates the path on the first batch and replaces on replay)
+    append_to_minhash_index(survivors, index_path, batch=int(batch_id), **mh_kw)

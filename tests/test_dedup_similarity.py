@@ -650,3 +650,32 @@ def test_excise_preserves_untouched_docs_byte_identical(spark):
     assert got[2] == ""
     assert got[3] == "untouched   doc  with   weird    spacing"  # byte-identical
     assert got[4] is None
+
+
+def test_empty_docs_produce_no_phantom_spans(spark):
+    """tokens('') is [''] — empty/whitespace-only docs must neither share a
+    phantom hot span in repeated_spans nor get rewritten by excision."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, ""), (4, "real content in this row")],
+        "doc_id long, text string",
+    )
+    assert dedup.repeated_spans(df, span_tokens=2, min_count=2).count() == 0
+    got = {
+        r.doc_id: r.text
+        for r in dedup.excise_repeated_spans(df, span_tokens=2, min_count=2).collect()
+    }
+    assert got == {1: "", 2: "  ", 3: "", 4: "real content in this row"}
+
+
+def test_resolve_duplicates_string_ids(spark):
+    """resolve_duplicates must work with non-numeric id columns (URL/UUID
+    doc ids), like every other generic-id dedup API in the module."""
+    df = spark.createDataFrame(
+        [("u-a", 0.4), ("u-b", 0.9), ("u-c", 0.9), ("u-z", 0.1)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("u-a", "u-b"), ("u-b", "u-c")], "id_a string, id_b string"
+    )
+    kept = sorted(r.doc_id for r in dedup.resolve_duplicates(df, pairs, "q").collect())
+    assert kept == ["u-b", "u-z"]  # q ties at 0.9 -> lowest id u-b; u-z untouched

@@ -179,3 +179,32 @@ def test_stream_neardup_ingest_across_batches(spark, tmp_path):
     run_neardup_ingest_once(spark, inp, idx, out, ckpt, threshold=0.3)
     ingested = {r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()}
     assert ingested == {10, 12, 20}
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the SAME batch id (crash
+    between writes and checkpoint commit) must reproduce identical survivors
+    and index contents — batch-keyed dynamic overwrite, not append."""
+    from shovel_spark.streaming.pipeline import _process_neardup_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    mh_kw = dict(text_col="text", id_col="doc_id", k=3, num_hashes=16, bands=8,
+                 family="xxhash64")
+    b0 = spark.createDataFrame(
+        [(10, base), (11, base.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    _process_neardup_batch(spark, b0, 0, idx, out, 0.3, "doc_id", mh_kw)
+
+    def state():
+        docs = sorted(r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect())
+        nb = spark.read.parquet(os.path.join(idx, "buckets")).count()
+        nk = spark.read.parquet(os.path.join(idx, "shingles")).count()
+        return docs, nb, nk
+
+    first = state()
+    # replay batch 0 (index now contains batch 0's survivors: self-pairs
+    # must be ignored, writes must replace, not duplicate)
+    _process_neardup_batch(spark, b0, 0, idx, out, 0.3, "doc_id", mh_kw)
+    assert state() == first
+    assert first[0] == [10]  # near-dup 11 dropped, survivor 10 kept once
