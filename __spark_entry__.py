@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_repeated_spans",
     "docs_excise_spans",
     "docs_resolve_best_quality",
+    "docs_logreg_weights",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

@@ -3445,6 +3445,113 @@ def docs_hash_sample(spark, sf_dir):
     )
 
 
+def _lr_iter_ctes(n_iters: int, lr: float = 2.0) -> str:
+    """DuckDB CTE replay of logreg_fit iterations (operators/classify.py):
+    same op order, same per-iteration 6-dp rounding of weights and bias, so
+    the trajectory matches the Spark fit exactly (the kmeans/pagerank
+    parity recipe — rounding absorbs accumulation-order and exp() ULP
+    noise)."""
+    parts = []
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    dot{i} AS (
+      SELECT f.doc_id, sum(f.x * w.w) AS dot
+      FROM feats f JOIN w{p} w ON f.bucket = w.bucket GROUP BY 1
+    ),
+    resid{i} AS (
+      SELECT l.doc_id,
+             1.0 / (1.0 + exp(-(coalesce(d.dot, 0.0) + (SELECT b FROM b{p})))) - l.y AS r
+      FROM labels l LEFT JOIN dot{i} d ON l.doc_id = d.doc_id
+    ),
+    grad{i} AS (
+      SELECT f.bucket, sum(r.r * f.x) AS g
+      FROM feats f JOIN resid{i} r ON f.doc_id = r.doc_id GROUP BY 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w.bucket,
+             round(w.w - {lr} * coalesce(g.g, 0.0) / (SELECT n FROM nn), 6) AS w
+      FROM w{p} w LEFT JOIN grad{i} g ON w.bucket = g.bucket
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT round((SELECT b FROM b{p})
+                   - {lr} * (SELECT sum(r) FROM resid{i}) / (SELECT n FROM nn), 6) AS b
+    )"""
+        )
+    return ",".join(parts)
+
+
+@_register(
+    "docs_logreg_weights",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN text || ' posmarker' ELSE text END AS text,
+             CAST(doc_id % 2 AS DOUBLE) AS y
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
+    ),
+    labels AS (SELECT doc_id, y FROM src),
+    nn AS (SELECT count(*) AS n FROM labels),
+    tok AS (
+      SELECT doc_id, len(w) AS n, unnest(w) AS t
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM src)
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS INT) AS bucket,
+             count(*) * 1.0 / any_value(n) AS x
+      FROM tok GROUP BY doc_id, 2
+    ),
+    w0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS bucket, 0.0::DOUBLE AS w),
+    b0 AS (SELECT 0.0::DOUBLE AS b),
+    {{_LR_CTES}}
+    SELECT bucket, round(w, 4) AS weight FROM w3
+    UNION ALL
+    SELECT -1, round((SELECT b FROM b3), 4)
+    ORDER BY bucket
+    """.replace("{_LR_CTES}", _lr_iter_ctes(3)),
+)
+def docs_logreg_weights(spark, sf_dir):
+    """Distributed logistic regression (operators/classify.py) — the
+    model-based quality/language-filter tier, MLlib-free: hashed
+    bag-of-words features (sparse (doc, bucket, x) rows; text never enters
+    the loop), 3 full-batch GD iterations with broadcast weights and
+    map-side gradients (two key-shuffles per iteration, dim+1 rows to the
+    driver). A planted marker token on odd doc_ids makes the signal
+    learnable; the returned weights show the fit. The oracle replays every
+    iteration as CTEs with the identical op order and per-iteration 6-dp
+    rounding (kmeans/pagerank parity recipe)."""
+    from shovel_spark.operators.classify import hashed_features, logreg_fit
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & (F.trim(F.col("text")) != "")
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" posmarker"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.col("doc_id") % 2).cast("double").alias("y"),
+        )
+    )
+    feats = hashed_features(d, dim=64, family="md5")
+    weights = logreg_fit(
+        feats, d.select("doc_id", "y"), dim=64, iters=3, lr=2.0
+    )
+    rows = [(i, round(w, 4)) for i, w in enumerate(weights[:64])] + [
+        (-1, round(weights[64], 4))
+    ]
+    return spark.createDataFrame(rows, "bucket int, weight double")
+
+
 def _pr_iter_ctes(n_iters: int) -> str:
     """DuckDB CTE replay of pagerank iterations (operators/graph.py): same
     float op order as the Spark expression so doubles agree bit-for-bit up
