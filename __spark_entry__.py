@@ -34,6 +34,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_excise_spans",
     "docs_resolve_best_quality",
     "docs_logreg_weights",
+    "docs_tfidf_terms",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

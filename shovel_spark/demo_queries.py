@@ -3445,6 +3445,52 @@ def docs_hash_sample(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_tfidf_terms",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
+    ),
+    nn AS (SELECT count(*) AS n FROM w),
+    tf AS (
+      SELECT doc_id, t AS term, any_value(n) AS n, count(*) AS tf
+      FROM (SELECT doc_id, len(w) AS n, unnest(w) AS t FROM w)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * 1.0 / tf.n) * ln((nn.n + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, round(score, 6) AS score
+    FROM scored
+    WHERE doc_id < 60
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC
+    ) <= 3
+    """,
+)
+def docs_tfidf_terms(spark, sf_dir):
+    """Per-doc characteristic terms by smoothed TF-IDF
+    (quality.tfidf_terms): top-3 per document — the keyword/topic-tagging
+    signal for mix balancing, the distinctness inverse of
+    ngram_commonness. Document frequency comes from a rollup over DISTINCT
+    (doc, term) pairs (stop-word reduce rows bounded at n_docs), the join
+    back is AQE-skew-splittable, and the per-doc top-k is a rank-limit
+    window. The oracle replays tf, smoothed idf, and the tie-broken
+    ranking; corpus stats use ALL docs, output restricted to doc_id < 60."""
+    from shovel_spark.operators.quality import tfidf_terms
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_terms(d, top_k=3)
+    return out.filter(F.col("doc_id") < 60).select(
+        "doc_id", "term", F.round("score", 6).alias("score")
+    )
+
+
 def _lr_iter_ctes(n_iters: int, lr: float = 2.0) -> str:
     """DuckDB CTE replay of logreg_fit iterations (operators/classify.py):
     same op order, same per-iteration 6-dp rounding of weights and bias, so

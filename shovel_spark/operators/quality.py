@@ -73,3 +73,60 @@ def ngram_commonness(
         (F.sum(F.col("__c") * F.col("__cnt")) / F.sum("__c")).alias("commonness")
     )
     return df.join(per_doc, df[id_col] == per_doc["__id"], "left").drop("__id")
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by smoothed TF-IDF —
+    the per-doc keyword signal a curation pipeline uses for topic tagging
+    and mix balancing (the inverse of :func:`ngram_commonness`: that scores
+    how ORDINARY a doc is, this extracts what makes it DISTINCT).
+
+    score = (tf / n_tokens) * ln((N + 1) / (df + 1)), ties broken by term
+    text ascending — deterministic, partition-invariant, engine-neutral
+    (natural log on exact integer counts; no corpus-order dependence).
+
+    Scale shape: one shuffle to per-(doc, term) counts (map-side combined),
+    document frequency from a second groupBy over the DISTINCT pairs (a
+    stop-word's reduce row count is n_docs, not n_occurrences — the same
+    rollup-before-totals defense as ngram_commonness), an equi-join back
+    (AQE-skew-splittable), then a rank-limit window per doc
+    (WindowGroupLimit). Returns (id, term, score) rows. NULL/empty texts
+    and NULL ids yield no rows.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+        )
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
+        .withColumn("__n", F.size("__w"))
+    )
+    tf = (
+        base.select("__id", "__n", F.explode("__w").alias("term"))
+        .groupBy("__id", "term", "__n")
+        .agg(F.count("*").alias("__tf"))
+    )
+    n_docs = base.count()
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = tf.join(docfreq, "term").select(
+        F.col("__id").alias(id_col),
+        "term",
+        (
+            (F.col("__tf") / F.col("__n"))
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("__df") + 1.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )

@@ -50,3 +50,30 @@ def test_no_window_over_gram_key(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "a b")], "doc_id long, text string")
     plan = ngram_commonness(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_tfidf_rare_terms_beat_stopwords(spark):
+    """A term appearing in every doc scores below a doc-unique term at
+    equal tf; output is top-k, tie-broken by term, WindowGroupLimit plan."""
+    from shovel_spark.operators.quality import tfidf_terms
+
+    rows = [(i, f"stop stop unique{i} other{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_terms(df, top_k=2)
+    got = {(r.doc_id, r.term) for r in out.collect()}
+    for i in range(6):
+        assert (i, f"unique{i}") in got and (i, f"other{i}") in got  # 'stop' never top
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_partition_invariant_and_skips_empty(spark):
+    from shovel_spark.operators.quality import tfidf_terms
+
+    rows = [(i, f"w{i % 3} w{(i + 1) % 4} common") for i in range(20)] + [
+        (90, ""), (91, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r.doc_id, r.term, round(r.score, 9)) for r in tfidf_terms(df).collect()}
+    b = {(r.doc_id, r.term, round(r.score, 9)) for r in tfidf_terms(df.repartition(7)).collect()}
+    assert a == b
+    assert not any(d in (90, 91) for d, _, _ in a)
