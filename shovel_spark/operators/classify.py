@@ -89,8 +89,15 @@ def logreg_fit(
     but no features (empty text) contribute through the bias only.
     """
     spark = features.sparkSession
-    feats = features.join(labels, id_col).select(id_col, "bucket", "x", "y")
-    docs = labels.select(id_col, "y")
+    # the sparse table feeds TWO joins per iteration (scoring + gradient):
+    # checkpoint once or the tokenize+hash+groupBy feature build re-executes
+    # 2*iters times
+    feats = (
+        features.join(labels, id_col)
+        .select(id_col, "bucket", "x", "y")
+        .localCheckpoint(eager=False)
+    )
+    docs = labels.select(id_col, "y").localCheckpoint(eager=False)
     n_docs = docs.count()
     w = [0.0] * dim
     b = 0.0
