@@ -246,3 +246,46 @@ def write_sinks_broadcast(
         partition_cols, mode, output_cols, fmt, payload_format,
         drop_cols=(sinks_col,), max_workers=max_workers,
     )
+
+
+def write_jsonl_shards(
+    df,
+    path: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+    seed: int = 7,
+    compression: str = "gzip",
+    columns: list[str] | None = None,
+) -> None:
+    """Export training shards as JSONL text files: rows are packed into
+    ~``budget``-token shards (operators/sampling.pack_shards — assignment
+    deterministic in (ids, tokens, seed), never in partitioning) and each
+    shard lands as its own ``shard_id=<n>`` directory of compressed JSONL —
+    the artifact a training job actually consumes.
+
+    One file per shard: the final repartition is BY the shard id, so a
+    shard's rows are written together; row order inside a shard is the
+    deterministic pack order (id-hash). ``columns`` limits the JSON fields
+    (default: every input column).
+    """
+    from pyspark.sql import functions as F
+
+    from shovel_spark.operators.sampling import pack_shards
+
+    cols = columns or df.columns
+    sharded = pack_shards(
+        df, token_col, budget, id_col=id_col, num_buckets=num_buckets, seed=seed
+    )
+    (
+        sharded.select(
+            F.col("shard_id"),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        .repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("compression", compression)
+        .text(path)
+    )

@@ -213,3 +213,40 @@ def test_stratified_matches_hash_sample_at_same_fraction(spark, docs):
         ).collect()
     }
     assert a == b
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    """Shard export: every row lands in exactly one shard_id dir as JSONL,
+    per-shard token totals respect the budget envelope, and re-running is
+    deterministic (same rows in the same shards)."""
+    import glob
+    import gzip
+    import json
+
+    from shovel_spark.io.sinks import write_jsonl_shards
+
+    rows = [(i, f"doc {i}", 100 + (i % 7) * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens int")
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, "n_tokens", budget=1000, num_buckets=4)
+
+    def read_all():
+        got = {}
+        for d in glob.glob(out + "/shard_id=*"):
+            sid = int(d.rsplit("=", 1)[1])
+            for f in glob.glob(d + "/*"):
+                for line in gzip.open(f, "rt"):
+                    r = json.loads(line)
+                    got[r["doc_id"]] = (sid, r["n_tokens"])
+        return got
+
+    got = read_all()
+    assert len(got) == 200  # every row exactly once
+    per_shard = {}
+    for sid, tks in got.values():
+        per_shard[sid] = per_shard.get(sid, 0) + tks
+    max_doc = max(t for _, t in got.values())
+    assert all(tot < 1000 + max_doc for tot in per_shard.values())
+
+    write_jsonl_shards(df, out, "n_tokens", budget=1000, num_buckets=4)
+    assert read_all() == got  # deterministic re-run
