@@ -35,6 +35,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_resolve_best_quality",
     "docs_logreg_weights",
     "docs_tfidf_terms",
+    "emb_hard_negatives",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

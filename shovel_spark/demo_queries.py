@@ -1778,6 +1778,56 @@ def emb_ivf_topk_batch(spark, sf_dir):
 
 
 @_register(
+    "emb_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 50),
+    c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 100),
+    ranked AS (
+      SELECT q.query_id, c.vec_id, c.label AS neg_label,
+             round(list_cosine_similarity(c.v, q.qv), 4) AS sim
+      FROM c JOIN q ON c.label != q.qlabel
+      QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+      ) <= 3
+    )
+    SELECT query_id, vec_id, neg_label, sim FROM ranked
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for embedding training: for each query vector,
+    the top-3 most-similar corpus vectors with a DIFFERENT label — the
+    pairs contrastive training needs most (similar representation, wrong
+    class). One job for all 50 queries: broadcast queries x corpus with a
+    label-mismatch equi-pred, exact cosine, per-query rank-limit window
+    (WindowGroupLimit). Exhaustive here (the exactness contract); the
+    production form runs the SAME ranking over lsh/ivf_topk_indexed_batch
+    candidates instead of the full corpus — identical downstream shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= 100).select("vec_id", "label", "embedding")
+    from shovel_spark.operators.similarity import cosine
+
+    joined = c.join(F.broadcast(q), F.col("label") != F.col("qlabel")).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        cosine(F.col("embedding"), F.col("qv")).alias("__s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("vec_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("query_id", "vec_id", "neg_label", F.round("__s", 4).alias("sim"))
+    )
+
+
+@_register(
     "multimodal_image_features",
     """
     WITH m AS (

@@ -78,10 +78,16 @@ def test_no_cartesian_product_in_any_contract_query(spark):
     CartesianProduct (the O(n*m) shuffle-everything join). The only
     BroadcastNestedLoopJoins allowed are the three intentional broadcast
     crossJoins against config-sized sides (a 4-row band table, a 1-row
-    query vector, k centroids) — the correct plan for those shapes."""
+    query vector, k centroids, a 50-row hard-negative query batch with a
+    label-mismatch predicate) — the correct plan for those shapes."""
     import __spark_entry__ as e
 
-    bnlj_ok = {"docs_minhash_bands", "emb_cosine_topk", "emb_kmeans_cells"}
+    bnlj_ok = {
+        "docs_minhash_bands",
+        "emb_cosine_topk",
+        "emb_kmeans_cells",
+        "emb_hard_negatives",
+    }
     offenders = {}
     for name, fn in e.queries().items():
         plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
