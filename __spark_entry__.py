@@ -36,6 +36,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_logreg_weights",
     "docs_tfidf_terms",
     "emb_hard_negatives",
+    "pages_snapshot_diff",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

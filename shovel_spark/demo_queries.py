@@ -3943,6 +3943,61 @@ def docs_canonical_urls(spark, sf_dir):
     GROUP BY 1
     """,
 )
+@_register(
+    "pages_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT 'p/' || doc_id AS url, md5(text) AS fp
+      FROM documents
+    ),
+    newer AS (
+      SELECT 'p/' || doc_id AS url,
+             md5(CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END) AS fp
+      FROM documents WHERE doc_id % 5 != 0
+      UNION ALL
+      SELECT 'p/' || (doc_id + 100000), md5(text)
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n
+    FROM old o FULL OUTER JOIN newer n ON o.url = n.url
+    GROUP BY 1
+    """,
+)
+def pages_snapshot_diff(spark, sf_dir):
+    """Crawl-delta report (operators/merge.py snapshot_diff): a re-crawl
+    changes every 3rd page, drops every 5th, discovers new urls for every
+    7th; the diff classifies every url as added / removed / changed /
+    unchanged from content fingerprints — refresh-rate and churn
+    accounting for recurring crawls. One full-outer key-join; fingerprints
+    shuffle, content never does."""
+    from shovel_spark.operators.merge import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("p/"), F.col("doc_id"))
+    old = d.select(url.alias("url"), F.col("text"))
+    newer = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            url.alias("url"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("v2 "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                F.concat(F.lit("p/"), F.col("doc_id") + 100000).alias("url"),
+                "text",
+            )
+        )
+    )
+    diff = snapshot_diff(old, newer, "url", F.md5("text"))
+    return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
 def pages_snapshot_upsert(spark, sf_dir):
     """Recurring-crawl snapshot merge (operators/merge.py upsert_latest —
     the Iceberg MERGE INTO analog): a re-crawl updates every 3rd page and

@@ -51,3 +51,36 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__origin")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    fingerprint: Column | str,
+) -> DataFrame:
+    """Crawl-delta report: (key, status) for every key in either snapshot —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both, but
+    the content fingerprint differs), ``unchanged``. The crawl-ops
+    companion to :func:`upsert_latest`: the merge writes the new corpus,
+    the diff tells you WHAT the re-crawl actually did (refresh rates,
+    churn per domain, dead links).
+
+    ``fingerprint`` is evaluated against each side (e.g.
+    ``F.md5("text")`` or an existing digest column). Inputs must be
+    one-row-per-key (run upsert/dedup first). Shape: one full-outer
+    equi-join on the key — fingerprints shuffle, never content.
+    """
+    fp = F.col(fingerprint) if isinstance(fingerprint, str) else fingerprint
+    # explicit presence flags: a NULL FINGERPRINT on a present row must not
+    # masquerade as an absent key (NULL fp vs NULL fp is 'unchanged')
+    o = old.select(F.col(key).alias("__k"), fp.alias("__fo"), F.lit(True).alias("__po"))
+    n = new.select(F.col(key).alias("__k"), fp.alias("__fn"), F.lit(True).alias("__pn"))
+    joined = o.join(n, "__k", "full_outer")
+    status = (
+        F.when(F.col("__po").isNull(), F.lit("added"))
+        .when(F.col("__pn").isNull(), F.lit("removed"))
+        .when(F.col("__fo").eqNullSafe(F.col("__fn")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("__k").alias(key), status.alias("status"))

@@ -67,3 +67,20 @@ def test_window_group_limit_in_plan(spark, snapshots):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from shovel_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("b", "2"), ("c", "9"), ("d", "4")], "url string, text string"
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new, "url", F.md5("text")).collect()}
+    assert got == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+    # NULL fingerprints on both sides compare as unchanged (eqNullSafe)
+    o2 = spark.createDataFrame([("x", None)], "url string, fp string")
+    n2 = spark.createDataFrame([("x", None)], "url string, fp string")
+    assert snapshot_diff(o2, n2, "url", "fp").first().status == "unchanged"
