@@ -3910,40 +3910,6 @@ def docs_canonical_urls(spark, sf_dir):
 
 
 @_register(
-    "pages_snapshot_upsert",
-    """
-    WITH old AS (
-      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
-             1000 AS ts, text, source
-      FROM documents
-    ),
-    newer AS (
-      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
-             2000 AS ts, 'v2 ' || text AS text, source
-      FROM documents WHERE doc_id % 3 = 0
-      UNION ALL
-      SELECT 'https://' || source || '.example.com/p/' || (doc_id + 100000) AS url,
-             2000 AS ts, text, source
-      FROM documents WHERE doc_id % 7 = 0
-    ),
-    tagged AS (
-      SELECT *, 0 AS origin FROM old
-      UNION ALL
-      SELECT *, 1 AS origin FROM newer
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY url ORDER BY ts DESC, origin DESC, text
-      ) AS rn FROM tagged
-    )
-    SELECT source, count(*) AS n_urls,
-           CAST(count(CASE WHEN ts = 2000 THEN 1 END) AS BIGINT) AS n_from_new,
-           CAST(sum(length(text)) AS BIGINT) AS text_len_sum
-    FROM ranked WHERE rn = 1
-    GROUP BY 1
-    """,
-)
-@_register(
     "pages_snapshot_diff",
     """
     WITH old AS (
@@ -3998,6 +3964,40 @@ def pages_snapshot_diff(spark, sf_dir):
     return diff.groupBy("status").agg(F.count("*").alias("n"))
 
 
+@_register(
+    "pages_snapshot_upsert",
+    """
+    WITH old AS (
+      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
+             1000 AS ts, text, source
+      FROM documents
+    ),
+    newer AS (
+      SELECT 'https://' || source || '.example.com/p/' || doc_id AS url,
+             2000 AS ts, 'v2 ' || text AS text, source
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/p/' || (doc_id + 100000) AS url,
+             2000 AS ts, text, source
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    tagged AS (
+      SELECT *, 0 AS origin FROM old
+      UNION ALL
+      SELECT *, 1 AS origin FROM newer
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY ts DESC, origin DESC, text
+      ) AS rn FROM tagged
+    )
+    SELECT source, count(*) AS n_urls,
+           CAST(count(CASE WHEN ts = 2000 THEN 1 END) AS BIGINT) AS n_from_new,
+           CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+    """,
+)
 def pages_snapshot_upsert(spark, sf_dir):
     """Recurring-crawl snapshot merge (operators/merge.py upsert_latest —
     the Iceberg MERGE INTO analog): a re-crawl updates every 3rd page and

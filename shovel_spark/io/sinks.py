@@ -266,9 +266,11 @@ def write_jsonl_shards(
     the artifact a training job actually consumes.
 
     One file per shard: the final repartition is BY the shard id, so a
-    shard's rows are written together; row order inside a shard is the
-    deterministic pack order (id-hash). ``columns`` limits the JSON fields
-    (default: every input column).
+    shard's rows are written together, then sorted within the partition by
+    id — line order inside a shard file is therefore DETERMINISTIC for a
+    given input, whatever the upstream partitioning (a hash repartition
+    alone leaves mapper arrival order in the file). ``columns`` limits the
+    JSON fields (default: every input column).
     """
     from pyspark.sql import functions as F
 
@@ -281,9 +283,12 @@ def write_jsonl_shards(
     (
         sharded.select(
             F.col("shard_id"),
+            F.col(id_col).alias("__sid"),
             F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
         )
         .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "__sid")
+        .drop("__sid")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .option("compression", compression)

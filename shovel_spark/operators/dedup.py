@@ -462,8 +462,14 @@ def incremental_minhash_pairs(
     cand = cross.unionByName(within).distinct()
 
     # verification over the UNION of stored + delta shingle keys — sizes and
-    # intersections computed exactly as minhash_dedup_pairs does on strings
-    all_keys = idx_keys.unionByName(new_keys)
+    # intersections computed exactly as minhash_dedup_pairs does on strings.
+    # The index side is anti-joined against delta ids first: after a
+    # foreachBatch replay the delta's docs are ALREADY in the index, and
+    # counting their keys from both sides would double set sizes and
+    # intersections (jaccard inflated past the threshold — a replay could
+    # drop docs the original run kept)
+    delta_ids = new_keys.select(id_col).distinct()
+    all_keys = idx_keys.join(delta_ids, id_col, "left_anti").unionByName(new_keys)
     sizes = all_keys.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = all_keys.alias("a"), all_keys.alias("b")
     common = (

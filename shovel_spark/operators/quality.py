@@ -109,12 +109,16 @@ def tfidf_terms(
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
         .withColumn("__n", F.size("__w"))
     )
+    # tf feeds the doc-frequency rollup AND the score join (and n_docs
+    # triggers base): checkpoint so the scan+tokenize+explode runs once,
+    # not three times (same multi-consumer rule as classify.logreg_fit)
     tf = (
         base.select("__id", "__n", F.explode("__w").alias("term"))
         .groupBy("__id", "term", "__n")
         .agg(F.count("*").alias("__tf"))
+        .localCheckpoint(eager=False)
     )
-    n_docs = base.count()
+    n_docs = tf.select("__id").distinct().count()
     docfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     scored = tf.join(docfreq, "term").select(
         F.col("__id").alias(id_col),

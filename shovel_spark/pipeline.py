@@ -211,6 +211,16 @@ def run_resumable(
     finally:
         pending.unpersist()
     bucket_counts = [r.asDict() for r in counts]
+    # a processed bucket that held ZERO rows still completed — ack it with
+    # zero counts, or it stays pending forever (a throttled caller would
+    # re-select it every invocation and never progress past it)
+    processed_slice = candidates[:max_buckets] if max_buckets is not None else candidates
+    seen_buckets = {int(b["bucket"]) for b in bucket_counts}
+    bucket_counts += [
+        {"bucket": b, "in_rows": 0, "acked": 0, "ignored": 0, "rejected": 0}
+        for b in processed_slice
+        if b not in seen_buckets
+    ]
     if bucket_counts:
         L.append_ledger(spark, ledger_dir, run_id, bucket_counts, lineage or f"pages->{cfg.out_dir}")
     return {
@@ -314,6 +324,16 @@ def run_resumable_bucketed(
     finally:
         routed.unpersist()
     bucket_counts = [r.asDict() for r in counts]
+    # a processed bucket that held ZERO rows still completed — ack it with
+    # zero counts, or it stays pending forever (a throttled caller would
+    # re-select it every invocation and never progress past it)
+    processed_slice = candidates[:max_buckets] if max_buckets is not None else candidates
+    seen_buckets = {int(b["bucket"]) for b in bucket_counts}
+    bucket_counts += [
+        {"bucket": b, "in_rows": 0, "acked": 0, "ignored": 0, "rejected": 0}
+        for b in processed_slice
+        if b not in seen_buckets
+    ]
     if bucket_counts:
         L.append_ledger(spark, ledger_dir, run_id, bucket_counts, f"bucketed:{ingest_path}")
     return {

@@ -169,6 +169,30 @@ def run_neardup_ingest_once(
     q.awaitTermination()
 
 
+def _assert_batch_layout(path: str, what: str) -> None:
+    """The streaming ingest writes ``__batch=N`` partitions; mixing them
+    into a directory already holding a flat layout (a build_minhash_index
+    index, or docs from a plain append) breaks parquet partition
+    discovery with a confusing 'conflicting directory structures' error —
+    fail early with an actionable one instead."""
+    import os as _os
+
+    if not _os.path.isdir(path):
+        return
+    flat = [
+        e
+        for e in _os.listdir(path)
+        if not e.startswith("__batch=") and not e.startswith("_") and not e.startswith(".")
+    ]
+    if flat:
+        raise ValueError(
+            f"run_neardup_ingest_once: {what} at {path!r} holds a non-batch-keyed "
+            f"layout (e.g. {flat[0]!r}); the streaming ingest needs its own fresh "
+            f"directory — it cannot extend an index built by build_minhash_index "
+            f"or a docs dir written with plain append"
+        )
+
+
 def _process_neardup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -192,6 +216,8 @@ def _process_neardup_batch(
         minhash_dedup_pairs,
     )
 
+    _assert_batch_layout(_os.path.join(index_path, "buckets"), "index buckets table")
+    _assert_batch_layout(_os.path.join(out_dir, "docs"), "survivors table")
     batch_df = batch_df.localCheckpoint()  # stable across the passes below
     have_index = _os.path.exists(_os.path.join(index_path, "buckets"))
     if have_index:

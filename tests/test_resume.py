@@ -168,3 +168,22 @@ def test_bucketed_resume_prunes_at_scan(spark, tmp_path):
     scan = plan[plan.index("Scan parquet"):]
     pf_line = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
     assert "bucket" in pf_line and "PartitionFilters: []" not in pf_line
+
+
+def test_throttle_pacing_progresses_past_empty_buckets(spark, tmp_path):
+    """throttle=True paces K buckets per invocation without phantom nacks,
+    and empty buckets are acked with zero counts — a zero-row bucket must
+    not be re-selected forever (livelock)."""
+    pages, lm, dr = _inputs(spark)
+    few = pages.limit(40)  # 16 buckets, ~some guaranteed empty
+    cfg = JobConfig(out_dir=str(tmp_path / "t"), n_buckets=16)
+    seen = set()
+    for i in range(4):
+        r = run_resumable(spark, few, lm, dr, cfg, max_buckets=4, throttle=True)
+        got = set(r["processed_buckets"])
+        assert got, f"invocation {i} made no progress"
+        assert got.isdisjoint(seen)
+        seen |= got
+    assert seen == set(range(16))  # all buckets done in exactly 16/4 rounds
+    m = metrics_from_ledger(spark, cfg.out_dir).first()
+    assert m["nacked"] == 0 and m["in_rows"] == 40
