@@ -37,6 +37,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_tfidf_terms",
     "emb_hard_negatives",
     "pages_snapshot_diff",
+    "stream_neardup_two_batches",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

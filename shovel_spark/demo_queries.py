@@ -1101,6 +1101,102 @@ def docs_incremental_neardup(spark, sf_dir):
 
 
 @_register(
+    "stream_neardup_two_batches",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id = 60
+    ),
+    {_nd_chain_ctes()},
+    drop1 AS (SELECT DISTINCT id_b FROM pairs WHERE id_b < 60),
+    surv1 AS (
+      SELECT doc_id FROM corpus WHERE doc_id < 60
+        AND doc_id NOT IN (SELECT id_b FROM drop1)
+    ),
+    drop2 AS (
+      SELECT DISTINCT id_b FROM pairs
+      WHERE id_b >= 60
+        AND (id_a >= 60 OR id_a IN (SELECT doc_id FROM surv1))
+    ),
+    surv2 AS (
+      SELECT doc_id FROM corpus WHERE doc_id >= 60
+        AND doc_id NOT IN (SELECT id_b FROM drop2)
+    )
+    SELECT 0 AS batch, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM surv1
+    UNION ALL
+    SELECT 1, count(*), CAST(sum(doc_id) AS BIGINT) FROM surv2
+    """,
+)
+def stream_neardup_two_batches(spark, sf_dir):
+    """STREAMING near-dup ingest, VALUE-CHECKED: two micro-batches run
+    through the real foreachBatch handler (streaming/pipeline.py
+    _process_neardup_batch — index build, first-wins cross-batch drops,
+    lowest-id within-batch drops, batch-keyed idempotent writes). Batch 0 =
+    docs 0-59; batch 1 = docs 60-99 plus planted cross-batch near-dups of
+    docs 0-4 and a within-batch near-dup of doc 60. The oracle replays the
+    policy from one full MinHash chain: batch-0 drops are pairs wholly
+    inside batch 0; a batch-1 doc drops iff it pairs with a batch-1 doc or
+    a SURVIVING batch-0 doc (dropped docs never joined the index — their
+    late near-dups correctly survive). Batch ids come from the __batch
+    partition column the idempotent writer produced."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.streaming.pipeline import _process_neardup_batch
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") < 60)
+    b1 = (
+        d.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100))
+        .unionByName(
+            d.filter(F.col("doc_id") < 5)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", _drop_first_word("text"))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") == 60)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", _drop_first_word("text"))
+        )
+    )
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:snd".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp/shovel_spark_snd", tag)
+    mh_kw = dict(
+        text_col="text", id_col="doc_id", k=3, num_hashes=16, bands=8, family="md5"
+    )
+    try:
+        _process_neardup_batch(
+            spark, b0, 0, f"{base}/idx", f"{base}/out", 0.5, "doc_id", mh_kw
+        )
+        _process_neardup_batch(
+            spark, b1, 1, f"{base}/idx", f"{base}/out", 0.5, "doc_id", mh_kw
+        )
+        out = (
+            spark.read.parquet(f"{base}/out/docs")
+            .groupBy(F.col("__batch").alias("batch"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("id_checksum"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
     "docs_repeated_spans",
     r"""
     WITH w AS (
