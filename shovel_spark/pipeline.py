@@ -385,3 +385,28 @@ def metrics_from_ledger(spark: SparkSession, out_dir: str, pipeline: str = "page
         F.sum("ignored").alias("ignored"),
         F.sum("rejected").alias("rejected"),
     )
+
+
+def run_history(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-run ledger digest, newest first: (run_id, attempted, completed,
+    in_rows, acked, ignored, rejected, started_at, finished_at) — the batch
+    analog of the reference's per-worker end-of-run report lines
+    (src/core/master.js:183-185), reconstructed from the attempt/done
+    records so an operator can see every invocation's footprint (what a
+    resume picked up, what a throttled run took, what a crash left behind).
+    """
+    led = spark.read.parquet(os.path.join(out_dir, "ledger"))
+    return (
+        led.groupBy("run_id")
+        .agg(
+            F.sum(F.when(F.col("status") == "attempt", 1).otherwise(0)).alias("attempted"),
+            F.sum(F.when(F.col("status") == "done", 1).otherwise(0)).alias("completed"),
+            F.sum(F.when(F.col("status") == "done", F.col("in_rows")).otherwise(0)).alias("in_rows"),
+            F.sum(F.when(F.col("status") == "done", F.col("acked")).otherwise(0)).alias("acked"),
+            F.sum(F.when(F.col("status") == "done", F.col("ignored")).otherwise(0)).alias("ignored"),
+            F.sum(F.when(F.col("status") == "done", F.col("rejected")).otherwise(0)).alias("rejected"),
+            F.min("completed_at").alias("started_at"),
+            F.max("completed_at").alias("finished_at"),
+        )
+        .orderBy(F.desc("started_at"))
+    )

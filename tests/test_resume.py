@@ -187,3 +187,19 @@ def test_throttle_pacing_progresses_past_empty_buckets(spark, tmp_path):
     assert seen == set(range(16))  # all buckets done in exactly 16/4 rounds
     m = metrics_from_ledger(spark, cfg.out_dir).first()
     assert m["nacked"] == 0 and m["in_rows"] == 40
+
+
+def test_run_history_reports_each_invocation(spark, tmp_path):
+    """run_history: one row per run_id; the kill run shows attempted > 
+    completed, the resume completes the rest, totals reconcile."""
+    from shovel_spark.pipeline import run_history
+
+    pages, lm, dr = _inputs(spark)
+    cfg = JobConfig(out_dir=str(tmp_path / "h"), n_buckets=B)
+    r1 = run_resumable(spark, pages, lm, dr, cfg, max_buckets=3)
+    r2 = run_resumable(spark, pages, lm, dr, cfg)
+    hist = {r["run_id"]: r for r in run_history(spark, cfg.out_dir).collect()}
+    h1, h2 = hist[r1["run_id"]], hist[r2["run_id"]]
+    assert h1["attempted"] == B and h1["completed"] == 3  # crash semantics
+    assert h2["attempted"] == B - 3 and h2["completed"] == B - 3
+    assert h1["in_rows"] + h2["in_rows"] == N
