@@ -38,6 +38,7 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_hard_negatives",
     "pages_snapshot_diff",
     "stream_neardup_two_batches",
+    "funnel_view_click_purchase",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

@@ -1101,6 +1101,55 @@ def docs_incremental_neardup(spark, sf_dir):
 
 
 @_register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT stage, n_users, ts_checksum FROM (
+      SELECT 1 AS stage, count(*) AS n_users,
+             CAST(sum(CAST(floor(epoch(t)) AS BIGINT)) AS BIGINT) AS ts_checksum FROM s1
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(CAST(floor(epoch(t)) AS BIGINT)) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, count(*), CAST(sum(CAST(floor(epoch(t)) AS BIGINT)) AS BIGINT) FROM s3
+    )
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel (operators/windows.funnel_times): per user the first
+    view, the first click AFTER that view, the first purchase AFTER that
+    click — the log-pipeline conversion query. Stage counts plus an
+    epoch-second checksum of the stage times pin the exact greedy
+    trajectory, not just the counts. k-1 per-key joins, no window over the
+    event stream."""
+    from shovel_spark.operators.windows import funnel_times
+
+    ev = _t(spark, sf_dir, "events")
+    f = funnel_times(ev, ["view", "click", "purchase"], ["user_id"])
+    sec = lambda c: F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1000000))  # noqa: E731
+    out = None
+    for i, c in enumerate(["t_view", "t_click", "t_purchase"], start=1):
+        stage = f.filter(F.col(c).isNotNull()).agg(
+            F.lit(i).alias("stage"),
+            F.count("*").alias("n_users"),
+            F.sum(sec(c)).alias("ts_checksum"),
+        )
+        out = stage if out is None else out.unionByName(stage)
+    return out
+
+
+@_register(
     "stream_neardup_two_batches",
     f"""
     WITH corpus AS (

@@ -155,3 +155,54 @@ def asof_join(
     return filled.filter(F.col("__is_left") == 1).drop(
         "__ts", "__is_left", "__carry", "__match"
     )
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    key_cols: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the earliest time each ``steps``
+    stage was reached IN ORDER (greedy: stage k's time is the first
+    matching event strictly after stage k-1's time; NULL from the first
+    unreached stage on). The classic log-pipeline conversion query —
+    which users viewed, then clicked, then purchased, in that order.
+
+    Output: key columns + one ``t_<step>`` timestamp per step (a step name
+    appearing twice gets positional suffixes). Conversion counts per stage
+    are one aggregation away (count of non-NULL t_k).
+
+    Scale shape: one filtered min-aggregation per stage, each an equi-join
+    on the key against the previous stage's (key, timestamp) — k-1
+    broadcast-or-shuffle joins over PER-KEY ROWS (one row per key after
+    stage 1), never over raw events more than once per stage. No windows,
+    no sort of the event stream.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out_names = []
+    seen: dict[str, int] = {}
+    for s in steps:
+        n = seen.get(s, 0)
+        seen[s] = n + 1
+        out_names.append(f"t_{s}" if n == 0 else f"t_{s}_{n}")
+
+    first = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(*key_cols)
+        .agg(F.min(ts_col).alias(out_names[0]))
+    )
+    acc = first
+    for step, prev_name, name in zip(steps[1:], out_names, out_names[1:]):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(acc.select(*key_cols, prev_name), key_cols)
+            .filter(F.col(ts_col) > F.col(prev_name))
+            .groupBy(*key_cols)
+            .agg(F.min(ts_col).alias(name))
+        )
+        acc = acc.join(nxt, key_cols, "left")
+    keys_all = df.select(*key_cols).distinct()
+    return keys_all.join(acc, key_cols, "left")

@@ -171,3 +171,33 @@ def test_asof_join_rejects_colliding_names(spark):
         asof_join(left2, right.withColumn("v_asof", F.lit(0.0)), on=["k"])
     with pytest.raises(ValueError, match="internal names"):
         asof_join(left2.withColumn("__ts", F.lit(0)), right, on=["k"])
+
+
+def test_funnel_times_greedy_order(spark):
+    """Ordered-funnel semantics: a step occurring BEFORE the previous
+    stage's time doesn't count; unreached stages are NULL; every key
+    appears exactly once."""
+    from datetime import datetime as dt
+
+    from shovel_spark.operators.windows import funnel_times
+
+    rows = [
+        (1, "view", dt(2024, 1, 1, 0)), (1, "click", dt(2024, 1, 1, 1)),
+        (1, "purchase", dt(2024, 1, 1, 2)),
+        (2, "click", dt(2024, 1, 1, 0)), (2, "view", dt(2024, 1, 1, 1)),  # click too early
+        (3, "purchase", dt(2024, 1, 1, 0)),                               # never viewed
+        (4, "view", dt(2024, 1, 1, 0)), (4, "click", dt(2024, 1, 1, 0)),  # same ts: strict >
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in funnel_times(df, ["view", "click", "purchase"], ["user_id"]).collect()
+    }
+    assert len(got) == 4
+    assert got[1] == (dt(2024, 1, 1, 0), dt(2024, 1, 1, 1), dt(2024, 1, 1, 2))
+    assert got[2][0] == dt(2024, 1, 1, 1) and got[2][1] is None
+    assert got[3] == (None, None, None)
+    assert got[4][1] is None  # simultaneous click doesn't satisfy strict order
+    # duplicate step names get positional suffixes
+    f2 = funnel_times(df, ["view", "click", "view"], ["user_id"])
+    assert "t_view" in f2.columns and "t_view_1" in f2.columns
