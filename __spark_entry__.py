@@ -39,6 +39,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pages_snapshot_diff",
     "stream_neardup_two_batches",
     "funnel_view_click_purchase",
+    "cohort_retention_d1_d7",
     "xml_roundtrip",
     # never driver-attested (r2/r3 additions)
     "docs_ngram_commonness",

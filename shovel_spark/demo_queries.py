@@ -1101,6 +1101,50 @@ def docs_incremental_neardup(spark, sf_dir):
 
 
 @_register(
+    "cohort_retention_d1_d7",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    signups AS (
+      SELECT user_id, min(d) AS d0 FROM ev WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (SELECT DISTINCT user_id, d FROM ev),
+    flags AS (
+      SELECT s.user_id, s.d0,
+             max(CASE WHEN a.d - s.d0 = 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN a.d - s.d0 = 7 THEN 1 ELSE 0 END) AS r7
+      FROM signups s JOIN activity a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(DATE '1970-01-01' + to_days(CAST(d0 AS INT)), '%Y-%m-%d') AS cohort_day,
+           count(*) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS retained_d1,
+           CAST(sum(r7) AS BIGINT) AS retained_d7
+    FROM flags GROUP BY 1
+    """,
+)
+def cohort_retention_d1_d7(spark, sf_dir):
+    """Cohort retention (operators/aggregate.cohort_retention): users
+    bucketed by first-signup day; day-1 and day-7 retention = any activity
+    exactly that many days later. Day buckets floor-truncate epoch seconds
+    (fractional-second parity). The oracle replays signup election,
+    distinct active days, and both retention flags."""
+    from shovel_spark.operators.aggregate import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, days=[1, 7])
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "retained_d1",
+        "retained_d7",
+    )
+
+
+@_register(
     "funnel_view_click_purchase",
     """
     WITH s1 AS (

@@ -59,3 +59,56 @@ def sink_metrics(routed: DataFrame, pipeline: str = "pages") -> DataFrame:
     )
     cols = ["pipeline", "sink", "in_rows", "acked", "nacked", "ignored", "rejected"]
     return per.select(*cols).unionByName(total.select(*cols))
+
+
+def cohort_retention(
+    df,
+    key_col: str = "user_id",
+    signup_type: str = "signup",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    days: list[int] | None = None,
+):
+    """Cohort retention — the other classic log-pipeline conversion table
+    (sibling of windows.funnel_times): users grouped by their signup DAY
+    (first ``signup_type`` event), and for each offset in ``days``, how
+    many were active (ANY event) exactly that many days later.
+
+    Day buckets come from floor(epoch seconds / 86400) — floor, not cast,
+    so fractional seconds and pre-epoch times bucket identically across
+    engines (the operators/timeseries.resample convention).
+
+    Output: (cohort_day: date, n_users, retained_d<1>, ...). Scale shape:
+    one groupBy(key) for signup days, one distinct over (key, day) —
+    map-side combined, a user's events collapse to their distinct active
+    days before any join — one key-join, one flags groupBy(key), one
+    cohort groupBy. No windows, no event-stream sort.
+    """
+    from pyspark.sql import functions as F
+
+    days = days if days is not None else [1, 7]
+    day = F.floor(
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000))
+        / F.lit(86400)
+    )
+    signups = (
+        df.filter(F.col(type_col) == signup_type)
+        .groupBy(key_col)
+        .agg(F.min(day).alias("__d0"))
+    )
+    activity = df.select(F.col(key_col), day.alias("__d")).distinct()
+    offsets = signups.join(activity, key_col).select(
+        key_col, "__d0", (F.col("__d") - F.col("__d0")).alias("__off")
+    )
+    flags = offsets.groupBy(key_col, "__d0").agg(
+        *[
+            F.max(F.when(F.col("__off") == n, 1).otherwise(0)).alias(f"__r{n}")
+            for n in days
+        ]
+    )
+    return flags.groupBy(
+        F.date_from_unix_date(F.col("__d0").cast("int")).alias("cohort_day")
+    ).agg(
+        F.count("*").alias("n_users"),
+        *[F.sum(f"__r{n}").alias(f"retained_d{n}") for n in days],
+    )
