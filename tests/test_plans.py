@@ -96,3 +96,23 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_funnel_and_cohort_plans_are_window_free(spark):
+    """The event-analytics pair must compile to joins + aggregations, never
+    a window over the raw event stream (a per-key window would sort every
+    hot user's full history in one task)."""
+    from datetime import datetime as dt
+
+    from shovel_spark.operators.aggregate import cohort_retention
+    from shovel_spark.operators.windows import funnel_times
+
+    rows = [(i % 5, t, dt(2024, 1, 1 + i % 9)) for i, t in
+            enumerate(["signup", "view", "click", "purchase"] * 10)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    for out in (
+        funnel_times(df, ["view", "click", "purchase"], ["user_id"]),
+        cohort_retention(df),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
