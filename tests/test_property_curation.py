@@ -212,3 +212,54 @@ def test_excise_matches_python_reference(spark, corpus, k, min_count):
     # the reference normalizes; untouched docs come back byte-identical,
     # which equals the normalized form because inputs are single-spaced
     assert got == ref
+
+
+# --- funnel_times vs a sequential reference on arbitrary event streams -----
+
+_etype = st.sampled_from(["a", "b", "c"])
+_event = st.tuples(st.integers(0, 3), _etype, st.integers(0, 20))  # (user, type, t)
+_events_strategy = st.lists(_event, min_size=0, max_size=30)
+
+
+def _py_funnel(events, steps):
+    out = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        ts = sorted((t, ty) for uu, ty, t in events if uu == u)
+        times, prev = [], None
+        for step in steps:
+            nxt = min(
+                (t for t, ty in ts if ty == step and (prev is None or t > prev)),
+                default=None,
+            )
+            times.append(nxt)
+            if nxt is None:
+                times += [None] * (len(steps) - len(times))
+                break
+            prev = nxt
+        out[u] = tuple(times)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(events=_events_strategy)
+def test_funnel_matches_sequential_reference(spark, events):
+    """Arbitrary event streams (duplicate timestamps, missing stages,
+    interleaved users): the distributed greedy funnel equals the
+    sequential per-user walk."""
+    from datetime import datetime as dt
+
+    from shovel_spark.operators.windows import funnel_times
+
+    steps = ["a", "b", "c"]
+    rows = [(u, ty, dt(2024, 1, 1, 0, t)) for u, ty, t in events]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: (r.t_a, r.t_b, r.t_c)
+        for r in funnel_times(df, steps, ["user_id"]).collect()
+    }
+    ref = {
+        u: tuple(None if t is None else dt(2024, 1, 1, 0, t) for t in times)
+        for u, times in _py_funnel(events, steps).items()
+    }
+    assert got == ref
