@@ -81,6 +81,14 @@ def _fanout_write(
             raise ValueError(f"unknown payload_format: {payload_format!r}")
         writer = part.write.mode(mode)
         if partition_cols:
+            if mode == "overwrite":
+                # pinned per-write: the resume contract ("re-write only the
+                # partitions this run re-processes") requires DYNAMIC
+                # partition overwrite; Spark's default is static, under
+                # which a resumed run would delete every already-done
+                # partition of the sink. Don't depend on ambient session
+                # conf for correctness.
+                writer = writer.option("partitionOverwriteMode", "dynamic")
             writer = writer.partitionBy(*partition_cols)
         writer.format(fmt).save(path)
         return name, path
@@ -290,6 +298,9 @@ def write_jsonl_shards(
         .sortWithinPartitions("shard_id", "__sid")
         .drop("__sid")
         .write.mode("overwrite")
+        # full export: pin STATIC so a re-export with fewer shards can't
+        # leave stale shard_id directories for the training job to read
+        .option("partitionOverwriteMode", "static")
         .partitionBy("shard_id")
         .option("compression", compression)
         .text(path)

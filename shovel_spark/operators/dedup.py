@@ -306,6 +306,7 @@ def build_minhash_index(
     num_hashes: int = 16,
     bands: int = 8,
     family: str = "xxhash64",
+    max_doc_freq: int | None = None,
 ) -> None:
     """Materialize the standing MinHash index a 100 TB corpus amortizes:
     sign the corpus ONCE and store two compact tables under ``path`` —
@@ -313,13 +314,29 @@ def build_minhash_index(
     and ``shingles/`` (id, shingle key: what exact-Jaccard verification
     needs). Document text never enters the index.
 
+    ``max_doc_freq`` applies the hot-shingle document-frequency cap
+    (boilerplate skew defense, same semantics as minhash_dedup_pairs)
+    BEFORE signatures and before storing shingle keys, and additionally
+    stores two small artifacts so incremental probes stay consistent:
+
+    - ``hot_df/`` — (shk, df) for every shingle the cap dropped. Tiny
+      (over-cap shingles only), but it lets incremental_minhash_pairs
+      compute the EXACT corpus+delta doc frequency for capped shingles —
+      without it a build-capped shingle would look rare again to a probe
+      (its index rows are gone) and re-enter the join as a quadratic
+      bucket.
+    - ``meta/`` — index parameters (k, num_hashes, bands, family,
+      max_doc_freq) so probes default to the build-time cap instead of
+      silently probing uncapped.
+
     After this, deduping a new crawl batch is :func:`incremental_minhash_pairs`
     — delta-sized work joined against these tables — instead of re-signing
     the whole corpus per batch (the full-recompute cost this index
     amortizes away; shovel's queue replays deltas the same way,
     reference: src/queues/batch.js:84-95)."""
     _write_minhash_index(
-        df, path, "overwrite", text_col, id_col, k, num_hashes, bands, family
+        df, path, "overwrite", text_col, id_col, k, num_hashes, bands, family,
+        max_doc_freq=max_doc_freq,
     )
 
 
@@ -333,6 +350,7 @@ def append_to_minhash_index(
     bands: int = 8,
     family: str = "xxhash64",
     batch: int | None = None,
+    max_doc_freq: int | None = None,
 ) -> None:
     """Append a batch's buckets and shingle keys to a standing index built
     with the SAME (k, num_hashes, bands, family) — the survivors-only
@@ -345,9 +363,16 @@ def append_to_minhash_index(
     own partitions instead of duplicating them — required under
     foreachBatch, where a crash between write and checkpoint commit
     replays the batch. Plain append (batch=None) is for one-shot jobs
-    that manage their own exactly-once."""
+    that manage their own exactly-once.
+
+    ``max_doc_freq`` caps hot shingles WITHIN this batch (deterministic in
+    the batch's rows, so replay-idempotent). A per-batch cap is the skew
+    fuse for the batch's own boilerplate; it intentionally does NOT
+    recount across batches — a periodic :func:`build_minhash_index`
+    rebuild re-applies the corpus-wide cap exactly."""
     _write_minhash_index(
-        df, path, "append", text_col, id_col, k, num_hashes, bands, family, batch
+        df, path, "append", text_col, id_col, k, num_hashes, bands, family, batch,
+        max_doc_freq=max_doc_freq,
     )
 
 
@@ -362,30 +387,107 @@ def _write_minhash_index(
     bands: int,
     family: str,
     batch: int | None = None,
+    max_doc_freq: int | None = None,
 ) -> None:
     # both index tables derive from the shingle table: checkpoint so the
     # corpus really is scanned/shingled ONCE per build, not once per write
-    sh = shingle_table(df, text_col, id_col, k).localCheckpoint(eager=False)
+    sh_raw = shingle_table(df, text_col, id_col, k).localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        # corpus-wide cap for a full build; batch-local cap for appends.
+        # groupBy + anti-join (NOT a window) for the same skew reasons as
+        # shingle_table's cap; rows are distinct per (doc, shingle), so
+        # count(*) == doc frequency.
+        dfreq = (
+            sh_raw.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .localCheckpoint(eager=False)
+        )
+        sh = sh_raw.join(dfreq.select("shingle"), "shingle", "left_anti")
+        if batch is None and mode == "overwrite":
+            # persist the dropped shingles' doc frequencies (hot keys only —
+            # tiny) so incremental probes can reconstruct exact corpus+delta
+            # totals for shingles whose index rows no longer exist
+            (
+                dfreq.select(
+                    _shingle_key(F.col("shingle"), family).alias("shk"),
+                    F.col("df"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{path}/hot_df")
+            )
+    else:
+        sh = sh_raw
+    if batch is None and mode == "overwrite":
+        spark = df.sparkSession
+        meta = spark.createDataFrame(
+            [(int(k), int(num_hashes), int(bands), str(family),
+              None if max_doc_freq is None else int(max_doc_freq))],
+            "k int, num_hashes int, bands int, family string, max_doc_freq int",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
     sigs = minhash_signatures(sh, id_col, num_hashes, family)
     buckets = band_buckets(sigs, id_col, bands, num_hashes, family)
     keys = sh.select(F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk"))
     if batch is None:
-        buckets.write.mode(mode).partitionBy("band").parquet(f"{path}/buckets")
+        # full rebuild: pin STATIC so a rebuild over a shrunk corpus can't
+        # leave stale band partitions behind under a globally-dynamic session
+        (
+            buckets.write.mode(mode)
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("band")
+            .parquet(f"{path}/buckets")
+        )
         keys.write.mode(mode).parquet(f"{path}/shingles")
     else:
-        # batch-keyed partitions + dynamic overwrite = replay-idempotent
+        # batch-keyed partitions + dynamic overwrite = replay-idempotent.
+        # The mode is pinned PER-WRITE: Spark's default is static, under
+        # which each batch's write would delete every other __batch
+        # partition of the standing index — silent data loss for any
+        # caller that didn't happen to set the session-level conf.
         (
             buckets.withColumn("__batch", F.lit(int(batch)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch", "band")
             .parquet(f"{path}/buckets")
         )
         (
             keys.withColumn("__batch", F.lit(int(batch)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(f"{path}/shingles")
         )
+
+
+def _read_index_cap(spark, index_path: str) -> int | None:
+    """Build-time ``max_doc_freq`` from ``{index_path}/meta`` (None for
+    uncapped or pre-meta indexes). JSON writes drop null fields, so an
+    uncapped build's meta row simply lacks the column."""
+    try:
+        rows = spark.read.json(f"{index_path}/meta").collect()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    cap = rows[0].asDict().get("max_doc_freq")
+    return None if cap is None else int(cap)
+
+
+def _read_hot_df(spark, index_path: str, family: str):
+    """(shk, __hdf) — stored doc frequencies of cap-dropped shingles.
+    Totals are cumulative and appended over time (build row, then one row
+    per delta that re-crossed the cap), so MAX per key is the latest exact
+    total; SUM would double-count the build contribution. Missing table
+    (uncapped or pre-cap index) reads as empty."""
+    try:
+        hot = spark.read.parquet(f"{index_path}/hot_df")
+    except Exception:
+        shk_t = "string" if family == "md5" else "long"
+        return spark.createDataFrame([], f"shk {shk_t}, __hdf long")
+    return hot.groupBy("shk").agg(F.max("df").alias("__hdf"))
 
 
 def incremental_minhash_pairs(
@@ -400,6 +502,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     family: str = "xxhash64",
     update_index: bool = False,
+    max_doc_freq: int | None | str = "index",
 ) -> DataFrame:
     """Near-dup pairs for a DELTA batch against a standing MinHash index
     (:func:`build_minhash_index`): every (id_a, id_b, jaccard) pair with
@@ -407,7 +510,11 @@ def incremental_minhash_pairs(
     WITHOUT re-shingling or re-signing the corpus. The incremental form of
     :func:`minhash_dedup_pairs`: given the same (k, num_hashes, bands,
     family), its output equals the full-corpus run restricted to pairs
-    involving the delta (parity pytest-asserted).
+    involving the delta, up to negligible shingle-key collisions
+    (verification Jaccard here is computed over hashed shingle keys, the
+    full chain's over raw shingle strings — a 64-bit key collision inside
+    one candidate doc could flip a borderline pair; parity pytest-asserted
+    on collision-free fixtures).
 
     Scale shape: only the delta is shingled/signed; candidates come from
     one equi-join of delta buckets against the band-partitioned index
@@ -415,19 +522,37 @@ def incremental_minhash_pairs(
     hashed shingle sets for candidate ids only. Daily-crawl cost is
     O(delta + collisions), not O(corpus).
 
+    ``max_doc_freq`` — the hot-shingle cap. Default ``"index"`` reads the
+    build-time cap from ``{index_path}/meta`` (falling back to uncapped for
+    pre-meta indexes), so probes are consistent with the build by
+    construction; pass an int to override or ``None`` to disable. The cap
+    is EXACT against the current corpus+delta: a shingle's total doc
+    frequency = stored ``hot_df`` count (build-capped shingles, whose
+    index rows no longer exist) + its live index rows + its delta rows.
+    Any shingle over the cap is excluded from delta signatures AND from
+    both sides' verification sets — so boilerplate that only became hot
+    WITH this delta is defused too, and the pair Jaccards match a full
+    capped re-run (candidate recall can differ marginally for corpus docs
+    whose build-time signatures included a shingle that crossed the cap
+    later; the exact-Jaccard gate is unaffected). Once hot, a shingle
+    stays capped for subsequent deltas (update_index appends its total to
+    ``hot_df`` — conservative by design; a periodic rebuild recounts).
+
     Delta ids must be disjoint from indexed ids (a re-crawled URL should
     go through snapshot upsert first — operators/merge.py).
-    ``update_index=True`` appends the delta's buckets and shingles after
-    pair computation, so the next batch dedupes against corpus + this one.
+    ``update_index=True`` appends the delta's (capped) buckets and
+    shingles after pair computation, so the next batch dedupes against
+    corpus + this one.
     """
-    new_sh = shingle_table(new_df, text_col, id_col, k).localCheckpoint(eager=False)
-    new_sigs = minhash_signatures(new_sh, id_col, num_hashes, family)
-    new_buckets = band_buckets(new_sigs, id_col, bands, num_hashes, family).localCheckpoint(
-        eager=False
-    )
-    new_keys = new_sh.select(
-        F.col(id_col), _shingle_key(F.col("shingle"), family).alias("shk")
-    )
+    if isinstance(max_doc_freq, str):
+        if max_doc_freq != "index":
+            raise ValueError(f"max_doc_freq: int, None or 'index', got {max_doc_freq!r}")
+        max_doc_freq = _read_index_cap(spark, index_path)
+
+    new_sh = shingle_table(new_df, text_col, id_col, k).withColumn(
+        "shk", _shingle_key(F.col("shingle"), family)
+    ).localCheckpoint(eager=False)
+    new_keys = new_sh.select(F.col(id_col), "shk")
 
     # select the logical columns only: a batch-keyed index (streaming
     # ingest) carries an extra __batch partition column that must not leak
@@ -436,6 +561,41 @@ def incremental_minhash_pairs(
         id_col, "band", "bucket"
     )
     idx_keys = spark.read.parquet(f"{index_path}/shingles").select(id_col, "shk")
+
+    delta_ids_pre = new_keys.select(id_col).distinct()
+    # replay safety: a delta doc already appended to the index must not
+    # count twice in doc frequencies or verification sets
+    idx_live = idx_keys.join(delta_ids_pre, id_col, "left_anti")
+
+    if max_doc_freq is not None:
+        # every shingle that is over-cap NOW either was over-cap at build
+        # (already absent from the index, totals live in hot_df) or is
+        # present in the delta (only delta rows can grow a total) — so
+        # totals need computing for DELTA keys only, one groupBy each side
+        # plus a broadcast-sized join on hot keys.
+        hot_now = (
+            new_keys.groupBy("shk").agg(F.count("*").alias("__ddf"))
+            .join(
+                idx_live.groupBy("shk").agg(F.count("*").alias("__idf")),
+                "shk", "left",
+            )
+            .join(_read_hot_df(spark, index_path, family), "shk", "left")
+            .filter(
+                F.col("__ddf")
+                + F.coalesce(F.col("__idf"), F.lit(0))
+                + F.coalesce(F.col("__hdf"), F.lit(0))
+                > max_doc_freq
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sh = new_sh.join(hot_now.select("shk"), "shk", "left_anti")
+        new_keys = new_sh.select(F.col(id_col), "shk")
+        idx_live = idx_live.join(hot_now.select("shk"), "shk", "left_anti")
+
+    new_sigs = minhash_signatures(new_sh, id_col, num_hashes, family)
+    new_buckets = band_buckets(new_sigs, id_col, bands, num_hashes, family).localCheckpoint(
+        eager=False
+    )
 
     nb, ib = new_buckets.alias("n"), idx_buckets.alias("i")
     cross = (
@@ -463,13 +623,13 @@ def incremental_minhash_pairs(
 
     # verification over the UNION of stored + delta shingle keys — sizes and
     # intersections computed exactly as minhash_dedup_pairs does on strings.
-    # The index side is anti-joined against delta ids first: after a
+    # idx_live is already anti-joined against delta ids (after a
     # foreachBatch replay the delta's docs are ALREADY in the index, and
     # counting their keys from both sides would double set sizes and
-    # intersections (jaccard inflated past the threshold — a replay could
-    # drop docs the original run kept)
-    delta_ids = new_keys.select(id_col).distinct()
-    all_keys = idx_keys.join(delta_ids, id_col, "left_anti").unionByName(new_keys)
+    # intersections — jaccard inflated past the threshold, so a replay
+    # could drop docs the original run kept) and already hot-capped, so
+    # both sides' sets are defined identically.
+    all_keys = idx_live.unionByName(new_keys)
     sizes = all_keys.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = all_keys.alias("a"), all_keys.alias("b")
     common = (
@@ -492,6 +652,23 @@ def incremental_minhash_pairs(
         pairs = pairs.localCheckpoint()
         new_buckets.write.mode("append").partitionBy("band").parquet(f"{index_path}/buckets")
         new_keys.write.mode("append").parquet(f"{index_path}/shingles")
+        if max_doc_freq is not None:
+            # record shingles that crossed the cap WITH this delta (their
+            # exact corpus+delta totals) so the next delta sees them as hot
+            # even though neither side stores their per-doc rows anymore
+            (
+                hot_now.select(
+                    "shk",
+                    (
+                        F.col("__ddf")
+                        + F.coalesce(F.col("__idf"), F.lit(0))
+                        + F.coalesce(F.col("__hdf"), F.lit(0))
+                    ).alias("df"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{index_path}/hot_df")
+            )
     return pairs
 
 

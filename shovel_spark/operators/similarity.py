@@ -176,6 +176,9 @@ def build_lsh_index(
     (
         out.repartition("table", "sig_prefix")
         .write.mode("overwrite")
+        # full index rebuild: pin STATIC so stale sig_prefix partitions
+        # can't linger under a globally-dynamic session
+        .option("partitionOverwriteMode", "static")
         .partitionBy("table", "sig_prefix")
         .parquet(path)
     )
@@ -394,6 +397,9 @@ def build_ivf_index(
         df.join(assigned, id_col)
         .repartition("cell")
         .write.mode("overwrite")
+        # full index rebuild: pin STATIC (a rebuild with fewer/renumbered
+        # cells must not leave stale cell partitions)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
         .parquet(path)
     )

@@ -195,6 +195,9 @@ def run_resumable(
             pending.groupBy("bucket", "sink", "status")
             .agg(F.count("*").alias("n"))
             .write.mode("overwrite")
+            # pinned per-write (default is static, which would wipe the
+            # done buckets' metric rows on resume)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
         )
@@ -258,9 +261,11 @@ def ingest_bucketed(pages: DataFrame, path: str, n_buckets: int = 64, key: str =
     zero I/O instead of read-then-filter. At 10^12 rows that's the
     difference between re-scanning 100 TB and scanning only the pending
     fraction."""
-    L.with_bucket(pages, key=key, n_buckets=n_buckets).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # full rebuild: pin STATIC overwrite (a re-ingest over fewer rows must
+    # not leave stale bucket partitions under a globally-dynamic session)
+    L.with_bucket(pages, key=key, n_buckets=n_buckets).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("bucket").parquet(path)
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:

@@ -245,6 +245,10 @@ def _process_neardup_batch(
     (
         survivors.withColumn("__batch", F.lit(int(batch_id)))
         .write.mode("overwrite")
+        # pinned per-write: under Spark's default STATIC overwrite a later
+        # batch would delete every prior __batch partition; correctness must
+        # not depend on the session-level conf (which only get_spark sets)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch")
         .parquet(_os.path.join(out_dir, "docs"))
     )

@@ -679,3 +679,99 @@ def test_resolve_duplicates_string_ids(spark):
     )
     kept = sorted(r.doc_id for r in dedup.resolve_duplicates(df, pairs, "q").collect())
     assert kept == ["u-b", "u-z"]  # q ties at 0.9 -> lowest id u-b; u-z untouched
+
+
+def test_capped_index_build_and_incremental_consistency(spark, tmp_path):
+    """max_doc_freq threaded through the standing-index path (ADVICE r4):
+    the build drops corpus-hot shingles before signatures AND before
+    storing keys, records the cap in meta/ and the dropped shingles' doc
+    frequencies in hot_df/; incremental probes default to the build-time
+    cap and compute EXACT corpus+delta totals — covering both
+    already-hot-at-build and newly-hot-with-the-delta shingles."""
+    boiler = "subscribe to our newsletter for updates every day"
+    kw = dict(k=3, num_hashes=16, bands=8)
+    # 6 corpus docs share the boilerplate (df=6 > cap=4); unique tails
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i} words{i} here{i}") for i in range(6)]
+        + [(50, BASE)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhcap")
+    dedup.build_minhash_index(corpus, idx, max_doc_freq=4, **kw)
+
+    # meta records the cap; hot_df stores the dropped shingles' exact df
+    assert dedup._read_index_cap(spark, idx) == 4
+    hot = spark.read.parquet(f"{idx}/hot_df")
+    assert hot.count() > 0
+    assert hot.agg(F.max("df")).first()[0] == 6
+    # stored shingle keys exclude the boilerplate shingles: no stored key
+    # may have df > cap
+    stored_df = (
+        spark.read.parquet(f"{idx}/shingles").groupBy("shk").count()
+    )
+    assert stored_df.agg(F.max("count")).first()[0] <= 4
+
+    # a delta doc that is ONLY boilerplate + its own tail must not pair
+    # with the corpus (the shared shingles are capped); default
+    # max_doc_freq="index" picks the cap up from meta
+    delta = spark.createDataFrame(
+        [(100, f"{boiler} fresh900 tail900 words900 here900")],
+        "doc_id long, text string",
+    )
+    inc = dedup.incremental_minhash_pairs(spark, idx, delta, threshold=0.3, **kw)
+    assert inc.count() == 0
+
+    # parity with the full capped chain restricted to delta pairs
+    full = dedup.minhash_dedup_pairs(
+        corpus.unionByName(delta), threshold=0.3, max_doc_freq=4, **kw
+    )
+    assert {(r.id_a, r.id_b) for r in full.collect() if r.id_a >= 100 or r.id_b >= 100} == set()
+
+    # an explicit override disables the cap: now the boilerplate pairs the
+    # delta doc with corpus docs (proves the default was doing the capping)
+    uncapped = dedup.incremental_minhash_pairs(
+        spark, idx, delta, threshold=0.3, max_doc_freq=None, **kw
+    )
+    # index rows for capped shingles don't exist, so even uncapped probes
+    # can't resurrect them — candidates come only from stored buckets
+    assert uncapped.count() == 0
+
+
+def test_capped_incremental_newly_hot_shingle(spark, tmp_path):
+    """A shingle UNDER the cap at build time that crosses it with the
+    delta must be excluded from the delta's signatures and verification
+    sets (totals = index rows + delta rows), so delta-borne boilerplate
+    can't create quadratic buckets or false pairs."""
+    boiler = "click here to read the full story now friends"
+    kw = dict(k=3, num_hashes=16, bands=8)
+    corpus = spark.createDataFrame(
+        [(1, f"{boiler} corpusone tail alpha beta gamma"),
+         (2, "totally unrelated content about mountain weather patterns today")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhhot")
+    dedup.build_minhash_index(corpus, idx, max_doc_freq=3, **kw)  # df(boiler)=1 ≤ 3: stored
+    delta = spark.createDataFrame(
+        [(100 + i, f"{boiler} deltadoc{i} tail{i} x{i} y{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    # totals for boiler shingles = 1 (index) + 4 (delta) = 5 > 3 → capped now
+    inc = dedup.incremental_minhash_pairs(spark, idx, delta, threshold=0.3, **kw)
+    assert inc.count() == 0
+    # same corpus+delta through the full capped chain agrees
+    full = dedup.minhash_dedup_pairs(
+        corpus.unionByName(delta), threshold=0.3, max_doc_freq=3, **kw
+    )
+    assert full.count() == 0
+    # update_index appends the newly-hot totals so the NEXT delta still
+    # sees the shingle as hot even though no side stores its rows
+    dedup.incremental_minhash_pairs(
+        spark, idx, delta, threshold=0.3, update_index=True, **kw
+    ).count()
+    hot = dedup._read_hot_df(spark, idx, "xxhash64")
+    assert hot.agg(F.max("__hdf")).first()[0] == 5
+    delta2 = spark.createDataFrame(
+        [(300, f"{boiler} final300 tail300 x300 y300")], "doc_id long, text string"
+    )
+    inc2 = dedup.incremental_minhash_pairs(spark, idx, delta2, threshold=0.3, **kw)
+    assert inc2.count() == 0

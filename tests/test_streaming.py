@@ -208,3 +208,52 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     _process_neardup_batch(spark, b0, 0, idx, out, 0.3, "doc_id", mh_kw)
     assert state() == first
     assert first[0] == [10]  # near-dup 11 dropped, survivor 10 kept once
+
+
+def test_neardup_batches_survive_default_static_overwrite(spark, tmp_path):
+    """Regression (round-4 driver FAIL, stream_neardup_two_batches): the
+    batch-keyed writers must pin partitionOverwriteMode=dynamic PER-WRITE.
+    Under a session that does NOT set the session-level conf (Spark's
+    default is *static* overwrite, e.g. the external correctness driver's
+    vanilla SparkSession), batch 1's mode('overwrite').partitionBy('__batch')
+    write used to delete batch 0's partitions — of the survivors table AND
+    the standing MinHash index. Simulate the vanilla session by unsetting
+    the conf (reverts to the 'static' default) for the duration."""
+    from shovel_spark.streaming.pipeline import _process_neardup_batch
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.unset(conf_key)
+    try:
+        assert spark.conf.get(conf_key).lower() == "static"  # vanilla default
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        mh_kw = dict(text_col="text", id_col="doc_id", k=3, num_hashes=16,
+                     bands=8, family="xxhash64")
+        b0 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [(2, "one two three four five six seven eight nine ten eleven")],
+            "doc_id long, text string",
+        )
+        _process_neardup_batch(spark, b0, 0, idx, out, 0.3, "doc_id", mh_kw)
+        _process_neardup_batch(spark, b1, 1, idx, out, 0.3, "doc_id", mh_kw)
+
+        docs = spark.read.parquet(os.path.join(out, "docs"))
+        assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [1, 2]
+        assert sorted(
+            r["__batch"] for r in docs.select("__batch").distinct().collect()
+        ) == [0, 1]
+        # the standing index keeps BOTH batches' segments
+        buckets = spark.read.parquet(os.path.join(idx, "buckets"))
+        assert sorted(
+            r["__batch"] for r in buckets.select("__batch").distinct().collect()
+        ) == [0, 1]
+        shingles = spark.read.parquet(os.path.join(idx, "shingles"))
+        assert sorted(
+            r["__batch"] for r in shingles.select("__batch").distinct().collect()
+        ) == [0, 1]
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
