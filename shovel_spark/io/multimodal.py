@@ -39,6 +39,7 @@ MEDIA_SCHEMA = T.StructType(
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),  # png|jpeg|gif|None
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), False),
@@ -46,6 +47,57 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType(), True),  # perceptual-hash slot
     ]
 )
+
+
+def decode_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """REAL (format, width, height) from the container header — pure-Python
+    byte parsing, no codec library needed, which covers the dominant
+    dimension/aspect-ratio filters of an image-curation pipeline without
+    decoding pixels (pixel decode stays behind the PIL gate below).
+
+    Recognizes PNG (IHDR), JPEG (SOF0/1/2/... marker scan, DHT/DAC/JPG
+    excluded), GIF87a/89a (logical screen descriptor). Returns None for
+    anything else — truncated or alien payloads never raise.
+    """
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        # first chunk must be IHDR: 4B length, 4B type, then width/height BE
+        if data[12:16] == b"IHDR":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return ("png", w, h)
+        return None
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        n = len(data)
+        while i + 3 < n:
+            if data[i] != 0xFF:
+                return None  # lost marker sync
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            # SOFn carry dimensions; C4=DHT, C8=JPG, CC=DAC do not
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return ("gif", w, h)
+    return None
 
 
 def _decode_image_stub(data: bytes) -> tuple[int, int]:
@@ -63,16 +115,26 @@ def _decode_image_stub(data: bytes) -> tuple[int, int]:
 
 def extract_image_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one feature frame
-    out; the binary column never leaves the map stage."""
+    out; the binary column never leaves the map stage.
+
+    Dimensions come from the REAL container header when the payload is a
+    recognizable PNG/JPEG/GIF (decode_image_header — fmt says which);
+    unrecognized payloads fall back to the deterministic stub (fmt null),
+    keeping the batch shape testable on arbitrary synthetic bytes."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
         for pdf in batches:
-            out = {"media_id": [], "width": [], "height": [], "n_bytes": [], "byte_entropy": [], "phash": []}
+            out = {"media_id": [], "fmt": [], "width": [], "height": [], "n_bytes": [], "byte_entropy": [], "phash": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data) if data is not None else b""
-                w, h = _decode_image_stub(raw)
+                hdr = decode_image_header(raw)
+                if hdr is not None:
+                    fmt, w, h = hdr
+                else:
+                    fmt = None
+                    w, h = _decode_image_stub(raw)
                 counts: dict[int, int] = {}
                 for b in raw[:4096]:
                     counts[b] = counts.get(b, 0) + 1
@@ -80,6 +142,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else None
                 ph = int.from_bytes(raw[:8].ljust(8, b"\0"), "big", signed=True) if raw else None
                 out["media_id"].append(mid)
+                out["fmt"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))
@@ -181,6 +244,78 @@ def read_media_dir(
             F.lit("length"), F.col("length").cast("string"),
         ).alias("meta"),
     )
+
+
+def build_image_bytes(fmt: str, width: int, height: int, pad: bytes = b"") -> bytes:
+    """A minimal REAL container header for ``fmt`` declaring the given
+    dimensions, plus ``pad`` payload bytes — spec-correct where it counts
+    (PNG IHDR with CRC, JPEG JFIF APP0 + SOF0 + EOI, GIF89a logical screen
+    descriptor), so decode_image_header and any external tool agree on the
+    dimensions. Used by the synthetic generator; NOT a full encoder."""
+    import struct
+    import zlib
+
+    if fmt == "png":
+        ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            + pad
+        )
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 17, 8, height, width, 3)
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"\xff\xd8" + app0 + sof0 + pad + b"\xff\xd9"
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + bytes([0xF7, 0, 0])
+            + pad
+        )
+    raise ValueError(f"unknown fmt: {fmt!r}")
+
+
+def synth_image_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, fmt, data) with REAL PNG/JPEG/GIF headers whose dimensions are a
+    pure function of the id — fmt cycles id%3 (png, jpeg, gif), width =
+    16 + (id%50)*8, height = 16 + ((id*7)%40)*8 — so a SQL oracle can
+    recompute the expected dimensions arithmetically while the Spark side
+    must actually PARSE them back out of the bytes (full Arrow round-trip:
+    header built in one pandas UDF, decoded in extract_image_features)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        fmts = ["png", "jpeg", "gif"]
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "data": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                fmt = fmts[mid % 3]
+                w = 16 + (mid % 50) * 8
+                h = 16 + ((mid * 7) % 40) * 8
+                pad = hashlib.sha256(f"media:{mid}".encode()).digest()
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["data"].append(build_image_bytes(fmt, w, h, pad))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema)
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -70,3 +70,47 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
 
     streamed = read_media_dir(spark, str(tmp_path), glob="*.bin", stream=True)
     assert streamed.isStreaming
+
+
+def test_decode_image_header_golden_pairs():
+    """Pure-Python header parsers against spec-built bytes and hostile
+    inputs — no Spark needed."""
+    from shovel_spark.io.multimodal import build_image_bytes, decode_image_header
+
+    assert decode_image_header(build_image_bytes("png", 640, 480)) == ("png", 640, 480)
+    assert decode_image_header(build_image_bytes("jpeg", 1920, 1080)) == ("jpeg", 1920, 1080)
+    assert decode_image_header(build_image_bytes("gif", 320, 200)) == ("gif", 320, 200)
+    # payload bytes after the header don't confuse the parse
+    assert decode_image_header(build_image_bytes("png", 8, 8, b"\xff" * 100)) == ("png", 8, 8)
+    # JPEG: SOF dims found even with APP0 in front (marker scan, not offset)
+    jp = build_image_bytes("jpeg", 33, 77, b"scan-data-here")
+    assert decode_image_header(jp) == ("jpeg", 33, 77)
+    # hand-built GIF87a little-endian screen descriptor
+    gif87 = b"GIF87a" + (12345).to_bytes(2, "little") + (11).to_bytes(2, "little") + b"\0\0\0"
+    assert decode_image_header(gif87) == ("gif", 12345, 11)
+    # hostile / non-image inputs: None, never raise
+    assert decode_image_header(b"") is None
+    assert decode_image_header(b"plain old text payload") is None
+    assert decode_image_header(b"\x89PNG\r\n\x1a\n1234IHDRtrunc"[:20]) is None
+    assert decode_image_header(b"\xff\xd8\xff") is None          # truncated JPEG
+    assert decode_image_header(b"\xff\xd8\x00\x00garbage") is None  # lost sync
+    assert decode_image_header(b"GIF89a\x01")[0] if False else decode_image_header(b"GIF89a\x01") is None
+
+
+def test_extract_image_features_real_headers(spark):
+    """extract_image_features parses REAL dimensions from synthetic headers
+    (fmt set), and still stubs unrecognized payloads (fmt null)."""
+    from shovel_spark.io.multimodal import extract_image_features, synth_image_media
+
+    media = synth_image_media(spark.range(30), id_col="id")
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        mid = r.media_id
+        assert r.fmt == ["png", "jpeg", "gif"][mid % 3]
+        assert r.width == 16 + (mid % 50) * 8
+        assert r.height == 16 + ((mid * 7) % 40) * 8
+    # unrecognized payload → stub fallback, fmt null
+    junk = spark.createDataFrame([(999, bytearray(b"not an image"))], "media_id long, data binary")
+    (jr,) = extract_image_features(junk).collect()
+    assert jr.fmt is None and jr.width == 64 + (ord("n") % 16) * 32
