@@ -1100,6 +1100,101 @@ def docs_incremental_neardup(spark, sf_dir):
         shutil.rmtree(idx_path, ignore_errors=True)
 
 
+#: boilerplate blocks for the capped-incremental contract: A is hot at
+#: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
+#: delta (20 corpus + 20 delta docs = 40 > 30).
+_BOIL_A = " sponsored content visit our partner network today"
+_BOIL_B = " subscribe to the newsletter for weekly updates"
+
+
+@_register(
+    "docs_incremental_neardup_capped",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id < 40 THEN '{_BOIL_A}'
+                          WHEN doc_id < 60 THEN '{_BOIL_B}'
+                          ELSE '' END AS text
+      FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(regexp_split_to_array(
+               trim(text || '{_BOIL_A}'), '\\s+')[2:], ' ')
+      FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id,
+             text || CASE WHEN doc_id < 320 THEN '{_BOIL_B}' ELSE '' END
+      FROM documents WHERE doc_id >= 300 AND doc_id < 500
+    ),
+    {{chain}}
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM pairs WHERE id_b >= 300 ORDER BY id_a, id_b
+    """.replace("{chain}", _nd_chain_ctes(30)),
+)
+def docs_incremental_neardup_capped(spark, sf_dir):
+    """Incremental near-dup WITH the hot-shingle cap threaded through the
+    standing index (round-5 ADVICE): the corpus plants boilerplate A in 40
+    docs (over the cap of 30 at BUILD time — dropped before signatures,
+    doc frequency recorded in hot_df/) and boilerplate B in 20 docs (under
+    the cap, stored); the delta plants B in 20 more docs, pushing its
+    corpus+delta total to 40 — so B must be excised by the PROBE from
+    exact totals (hot_df + live index rows + delta rows) even though it
+    was legal at build time. The probe reads the cap from index meta/
+    (max_doc_freq defaults to 'index'). Oracle: the full capped chain over
+    corpus+delta restricted to delta pairs — a hash match proves both the
+    build-time and newly-hot exclusions agree with a full capped re-run."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 300).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") < 40, F.lit(_BOIL_A))
+            .when(F.col("doc_id") < 60, F.lit(_BOIL_B))
+            .otherwise(F.lit("")),
+        ),
+    )
+    delta = (
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+        .withColumn(
+            "text",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") < 320, F.lit(_BOIL_B)).otherwise(F.lit("")),
+            ),
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 10)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", _drop_first_word("text"))
+        )
+    )
+    kw = dict(k=3, num_hashes=16, bands=8, family="md5")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:inccap".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/shovel_spark_mh", tag)
+    try:
+        build_minhash_index(corpus, idx_path, max_doc_freq=30, **kw)
+        pairs = incremental_minhash_pairs(
+            spark, idx_path, delta, threshold=0.5, **kw
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy(
+            "id_a", "id_b"
+        )
+        rows = pairs.collect()
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+
 @_register(
     "cohort_retention_d1_d7",
     """
@@ -1334,7 +1429,11 @@ def docs_repeated_spans(spark, sf_dir):
     "docs_excise_spans",
     r"""
     WITH w AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text
+      -- whitespace-normalized on BOTH sides (tokenize + single-space
+      -- rejoin), so the char-sum comparison is insensitive to the raw
+      -- testdata's spacing
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS text
       FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
     ),
     occ AS (
@@ -1393,14 +1492,19 @@ def docs_excise_spans(spark, sf_dir):
     token-level rebuild — and the char sums pin the rebuilt text exactly."""
     from shovel_spark.operators.dedup import excise_repeated_spans
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("text").isNotNull()
-        & F.col("doc_id").isNotNull()
-        & (F.trim(F.col("text")) != "")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & (F.trim(F.col("text")) != "")
+        )
+        # whitespace-normalize BEFORE excision (and the oracle rejoins its
+        # tokens the same way), so the byte-identity comparison never
+        # depends on the testdata happening to be single-spaced
+        .withColumn("text", F.trim(F.regexp_replace("text", r"\s+", " ")))
     )
-    # tokenizer-normalized baseline: the oracle compares against the
-    # original STRING, so feed text that is already single-spaced (the
-    # testdata is; trim defensively)
     clean = excise_repeated_spans(
         d, span_tokens=5, min_count=2, family="md5", out_col="clean"
     )
@@ -2060,6 +2164,32 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media).select(
         "media_id", "width", "height", "n_bytes", F.round("byte_entropy", 4).alias("entropy")
     )
+
+
+@_register(
+    "multimodal_image_dims",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+           CAST(16 + (doc_id % 50) * 8 AS INT) AS width,
+           CAST(16 + ((doc_id * 7) % 40) * 8 AS INT) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_image_dims(spark, sf_dir):
+    """REAL image-header decode round-trip (no codec libraries): synthetic
+    but spec-correct PNG/JPEG/GIF container bytes are BUILT in one pandas
+    UDF (io/multimodal.synth_image_media — dimensions a pure function of
+    the id) and PARSED back by extract_image_features' pure-Python header
+    scanners (decode_image_header: PNG IHDR, JPEG SOFn marker walk, GIF
+    logical screen descriptor). The oracle recomputes the expected
+    dimensions arithmetically, so a hash match proves the decoder read
+    the actual bytes correctly for every row and format."""
+    from shovel_spark.io.multimodal import extract_image_features, synth_image_media
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    media = synth_image_media(ids, id_col="doc_id")
+    return extract_image_features(media).select("media_id", "fmt", "width", "height")
 
 
 # ---------------------------------------------------------------------------
