@@ -16,6 +16,7 @@ dynamic-partition-overwrite the rest, ledger-append as commit point.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import time
@@ -144,6 +145,7 @@ def run_resumable(
     max_buckets: int | None = None,
     lineage: str = "",
     throttle: bool = False,
+    monitor: bool = True,
 ) -> dict:
     """Resumable run over logical buckets (see ledger.py for the protocol).
 
@@ -155,8 +157,13 @@ def run_resumable(
     when max_buckets is deliberate pacing instead (process K buckets per
     invocation): attempts are then recorded only for the buckets actually
     taken, and later invocations accrue no phantom nacks.
+
+    ``monitor`` (default on) records live per-stage progress samples to
+    ``{out_dir}/progress`` while the run executes — the batch analog of
+    the reference's mid-run metrics endpoint (observability.py).
     Returns {run_id, processed_buckets, skipped_buckets}.
     """
+    from shovel_spark.observability import ProgressMonitor
     run_id = run_id or L.new_run_id()
     ledger_dir = os.path.join(cfg.out_dir, "ledger")
     done = L.read_done_buckets(spark, ledger_dir)
@@ -184,33 +191,37 @@ def run_resumable(
     # persist. write_sinks detects the caller-managed cache and will neither
     # re-persist nor unpersist it.
     t0 = time.time()
+    mon = ProgressMonitor(spark, cfg.out_dir) if monitor else contextlib.nullcontext()
     pending = pending.repartition("bucket").persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        write_sinks(
-            pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"], output_cols=OUTPUT_COLS
-        )
-        # per-(bucket, sink, status) metric rows, idempotent under re-runs via
-        # the same dynamic-partition-overwrite trick as the sinks themselves
-        (
-            pending.groupBy("bucket", "sink", "status")
-            .agg(F.count("*").alias("n"))
-            .write.mode("overwrite")
-            # pinned per-write (default is static, which would wipe the
-            # done buckets' metric rows on resume)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
-        )
-        counts = (
-            pending.groupBy("bucket")
-            .agg(
-                F.count("*").alias("in_rows"),
-                F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
-                F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
-                F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+        with mon:
+            write_sinks(
+                pending, cfg.out_dir, cfg.sinks, partition_cols=["bucket"],
+                output_cols=OUTPUT_COLS,
             )
-            .collect()
-        )
+            # per-(bucket, sink, status) metric rows, idempotent under
+            # re-runs via the same dynamic-partition-overwrite trick as the
+            # sinks themselves
+            (
+                pending.groupBy("bucket", "sink", "status")
+                .agg(F.count("*").alias("n"))
+                .write.mode("overwrite")
+                # pinned per-write (default is static, which would wipe the
+                # done buckets' metric rows on resume)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(os.path.join(cfg.out_dir, "metrics_by_bucket"))
+            )
+            counts = (
+                pending.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("in_rows"),
+                    F.sum(F.when(F.col("status") == "acked", 1).otherwise(0)).alias("acked"),
+                    F.sum(F.when(F.col("status") == "ignored", 1).otherwise(0)).alias("ignored"),
+                    F.sum(F.when(F.col("status") == "rejected", 1).otherwise(0)).alias("rejected"),
+                )
+                .collect()
+            )
     finally:
         pending.unpersist()
     bucket_counts = [r.asDict() for r in counts]

@@ -203,3 +203,37 @@ def test_run_history_reports_each_invocation(spark, tmp_path):
     assert h1["attempted"] == B and h1["completed"] == 3  # crash semantics
     assert h2["attempted"] == B - 3 and h2["completed"] == B - 3
     assert h1["in_rows"] + h2["in_rows"] == N
+
+
+def test_progress_monitor_records_stage_samples(spark, tmp_path):
+    """Mid-run observability (reference: src/core/master.js:104-129 live
+    metrics endpoint): run_resumable samples scheduler progress while the
+    job runs and persists it to {out_dir}/progress. Crash + resume appends
+    (one 'run' summary row per invocation); samples reference real stages."""
+    from shovel_spark.observability import read_progress
+    from shovel_spark.pipeline import JobConfig, run_resumable
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    out = str(tmp_path / "obs_out")
+    pages = synth_pages(spark, 30_000, seed=11)
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    cfg = JobConfig(out_dir=out, n_buckets=8)
+    run_resumable(spark, pages, lm, dr, cfg, max_buckets=3)   # crash
+    run_resumable(spark, pages, lm, dr, cfg)                  # resume
+    prog = read_progress(spark, out)
+    rows = prog.collect()
+    summaries = [r for r in rows if r.stage_id == -1]
+    assert len(summaries) == 2  # one per invocation
+    assert all(r.name == "run" and r.complete_tasks >= 0 for r in summaries)
+    samples = [r for r in rows if r.stage_id >= 0]
+    # 30k rows through parse+route+write is slow enough to catch stages
+    assert samples, "no stage samples recorded"
+    assert all(0 <= r.complete_tasks <= r.num_tasks for r in samples)
+    assert all(r.ts_ms > 0 and r.name for r in samples)
+
+    # monitor=False writes nothing new
+    import shutil
+    shutil.rmtree(out)
+    run_resumable(spark, pages, lm, dr, cfg, monitor=False)
+    import os as _os
+    assert not _os.path.exists(_os.path.join(out, "progress"))
