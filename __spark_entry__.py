@@ -32,6 +32,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new in round 5
     "docs_incremental_neardup_capped",
     "multimodal_image_dims",
+    "docs_bigram_lm_scores",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,7 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "asof_prior_signup",
     "broadcast_sink_counts",
     "cube_priority_status",
-    "distinct_users_per_type",
+    # distinct_users_per_type rotates to round 6 (window full at 50)
 ]
 
 

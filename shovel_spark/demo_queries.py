@@ -1100,6 +1100,46 @@ def docs_incremental_neardup(spark, sf_dir):
         shutil.rmtree(idx_path, ignore_errors=True)
 
 
+@_register(
+    "docs_bigram_lm_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    bg_all AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM toks WHERE len(w) >= 2)
+    ),
+    bg_train AS (SELECT * FROM bg_all WHERE doc_id < 400),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg_train GROUP BY 1),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg_train GROUP BY 1, 2),
+    v AS (SELECT count(*) AS V FROM uni)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * V))), 4)
+             AS avg_logprob
+    FROM bg_all LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_lm_scores(spark, sf_dir):
+    """Count-based bigram LM quality scoring (operators/lm.py) — the
+    CCNet-style perplexity filter of an LLM pipeline: train add-alpha
+    bigram counts on docs < 400, score EVERY doc (so held-out docs
+    exercise the unseen-bigram smoothing path) by mean ln P(w2|w1).
+    Training is two map-side-combinable groupBys; scoring is two equi-joins
+    against vocabulary-sized count tables plus a broadcast 1-row V — fully
+    deterministic, replayed verbatim by the oracle."""
+    from shovel_spark.operators.lm import score_bigram_logprob, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi = train_bigram_lm(d.filter(F.col("doc_id") < 400))
+    return score_bigram_logprob(d, uni, bi, alpha=0.5).select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 4).alias("avg_logprob")
+    )
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

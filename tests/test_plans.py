@@ -76,10 +76,11 @@ def test_partial_aggregation_before_shuffle(routed_plan):
 def test_no_cartesian_product_in_any_contract_query(spark):
     """Global plan-quality gate: no contract query may plan a
     CartesianProduct (the O(n*m) shuffle-everything join). The only
-    BroadcastNestedLoopJoins allowed are the three intentional broadcast
+    BroadcastNestedLoopJoins allowed are the intentional broadcast
     crossJoins against config-sized sides (a 4-row band table, a 1-row
     query vector, k centroids, a 50-row hard-negative query batch with a
-    label-mismatch predicate) — the correct plan for those shapes."""
+    label-mismatch predicate, the bigram LM's 1-row vocabulary-size
+    aggregate) — the correct plan for those shapes."""
     import __spark_entry__ as e
 
     bnlj_ok = {
@@ -87,6 +88,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_cosine_topk",
         "emb_kmeans_cells",
         "emb_hard_negatives",
+        "docs_bigram_lm_scores",
     }
     offenders = {}
     for name, fn in e.queries().items():

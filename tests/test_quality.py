@@ -77,3 +77,64 @@ def test_tfidf_partition_invariant_and_skips_empty(spark):
     b = {(r.doc_id, r.term, round(r.score, 9)) for r in tfidf_terms(df.repartition(7)).collect()}
     assert a == b
     assert not any(d in (90, 91) for d, _, _ in a)
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-alpha bigram LM against hand-computed probabilities on a 2-doc
+    training corpus, including the unseen-bigram and unseen-history paths."""
+    import math
+
+    from shovel_spark.operators.lm import score_bigram_logprob, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # train bigrams: (a,b)x3, (b,a)x1, (b,c)x1; histories: a:3, b:2; V=2
+    uni, bi = train_bigram_lm(train)
+    u = {r.w1: r.c1 for r in uni.collect()}
+    b = {(r.w1, r.w2): r.c12 for r in bi.collect()}
+    assert u == {"a": 3, "b": 2}
+    assert b == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+    score = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob, r.perplexity)
+        for r in score_bigram_logprob(
+            spark.createDataFrame(
+                [(10, "a b"), (11, "a z"), (12, "z q"), (13, "solo")],
+                "doc_id long, text string",
+            ),
+            uni, bi, alpha=0.5,
+        ).collect()
+    }
+    V = 2
+    p_ab = (3 + 0.5) / (3 + 0.5 * V)      # seen bigram
+    p_az = (0 + 0.5) / (3 + 0.5 * V)      # unseen bigram, seen history
+    p_zq = (0 + 0.5) / (0 + 0.5 * V)      # unseen history -> 1/V
+    assert score[10][0] == 1 and abs(score[10][1] - math.log(p_ab)) < 1e-12
+    assert abs(score[11][1] - math.log(p_az)) < 1e-12
+    assert abs(score[12][1] - math.log(p_zq)) < 1e-12
+    assert 13 not in score  # single-token doc: no bigrams, excluded
+    assert abs(score[10][2] - math.exp(-score[10][1])) < 1e-12
+
+    # min_count prunes rare bigrams but never the history table
+    uni2, bi2 = train_bigram_lm(train, min_count=2)
+    assert {(r.w1, r.w2) for r in bi2.collect()} == {("a", "b")}
+    assert {r.w1 for r in uni2.collect()} == {"a", "b"}
+
+
+def test_bigram_lm_ranks_shuffled_text_below_natural(spark):
+    """The filter's point: token-shuffled (unnatural) text scores lower
+    than text drawn from the training distribution."""
+    from shovel_spark.operators.lm import score_bigram_logprob, train_bigram_lm
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(i, sent) for i in range(20)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    probe = spark.createDataFrame(
+        [(100, sent), (101, "dog the over quick lazy fox brown jumps the")],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.avg_logprob for r in score_bigram_logprob(probe, uni, bi).collect()}
+    assert s[100] > s[101]
