@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_incremental_neardup_capped",
     "multimodal_image_dims",
     "docs_bigram_lm_scores",
+    "emb_semantic_dedup",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,8 +80,8 @@ _DRIVER_PRIORITY: list[str] = [
     "anti_join_nations",
     "asof_prior_signup",
     "broadcast_sink_counts",
-    "cube_priority_status",
-    # distinct_users_per_type rotates to round 6 (window full at 50)
+    # cube_priority_status + distinct_users_per_type rotate to round 6
+    # (window full at 50)
 ]
 
 

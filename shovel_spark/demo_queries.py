@@ -3009,6 +3009,116 @@ def emb_kmeans_cells(spark, sf_dir):
 
 
 @_register(
+    "emb_semantic_dedup",
+    """
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+      FROM e0 WHERE vec_id < 20
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS centroid
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    a1 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c0 GROUP BY vec_id
+    ),
+    m1 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a1.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a1 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1 GROUP BY 1),
+    a2 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c1 GROUP BY vec_id
+    ),
+    m2 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a2.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a2 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m2 GROUP BY 1),
+    a3 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c2 GROUP BY vec_id
+    ),
+    av AS (SELECT e.vec_id, a3.cell, e.v FROM e JOIN a3 USING (vec_id)),
+    prs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.999
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l0 l LEFT JOIN edges g ON g.src = l.id LEFT JOIN l0 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l1 l LEFT JOIN edges g ON g.src = l.id LEFT JOIN l1 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM l2 l LEFT JOIN edges g ON g.src = l.id LEFT JOIN l2 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    lab AS (
+      SELECT av.vec_id, av.cell, coalesce(l3.label, av.vec_id) AS component,
+             round(list_cosine_similarity(av.v, c2.centroid), 6) AS cs
+      FROM av JOIN c2 USING (cell) LEFT JOIN l3 ON l3.id = av.vec_id
+    ),
+    mn AS (SELECT component, min(cs) AS mcs FROM lab GROUP BY 1),
+    kp AS (
+      SELECT lab.component, min(lab.vec_id) AS kid
+      FROM lab JOIN mn ON lab.component = mn.component AND lab.cs = mn.mcs
+      GROUP BY 1
+    )
+    SELECT lab.vec_id, lab.cell, lab.component,
+           (lab.vec_id = kp.kid) AS keep
+    FROM lab JOIN kp USING (component)
+    ORDER BY lab.vec_id
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup, public
+    SemDeDup paper): embeddings plus scale-perturbed copies (cosine with
+    the original is exactly 1, scale-invariant — planted semantic dups)
+    are k-means-clustered (k=4, 2 iterations, the emb_kmeans_cells
+    trajectory), paired only WITHIN a cell at cosine >= 0.999, grouped by
+    3 rounds of min-label propagation, and each component keeps its
+    farthest-from-centroid member (min rounded centroid_sim, ties -> min
+    id). The oracle replays the entire chain — clustering, in-cell
+    pairing, label propagation, keep election — so a hash match certifies
+    every discrete decision on every row."""
+    from shovel_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        )
+    )
+    return semantic_dedup(
+        corpus, k=4, iters=2, threshold=0.999, cc_iters=3
+    ).select("vec_id", "cell", "component", "keep").orderBy("vec_id")
+
+
+@_register(
     "docs_dup_clusters",
     f"""
     WITH {_ND_MINHASH_CTES},

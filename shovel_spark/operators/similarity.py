@@ -509,3 +509,85 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cc_iters: int = 3,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): cluster embeddings with k-means, compare pairs only WITHIN a
+    cluster, group near-duplicates (cosine >= threshold) into connected
+    components, and KEEP the member farthest from its cluster centroid —
+    the paper's diversity-preserving pick (the centroid-hugging copies are
+    the redundant ones).
+
+    Returns one row per input vector: (id, cell, centroid_sim, component,
+    keep). Singletons (no near-dup) keep trivially; in a dup component
+    exactly one row has keep=true (min rounded centroid_sim, ties broken
+    by lowest id — rounding to ``sim_decimals`` keeps the pick
+    engine-neutral for the SQL oracle).
+
+    Scale shape: the all-pairs O(n^2) is fenced to O(sum_c |c|^2) by the
+    cluster equi-join — with balanced cells that's n^2/k, and the join is
+    a plain shuffle join AQE can split further. A pathologically hot cell
+    is the residual skew risk: raise k, or sub-split hot cells with a
+    hyperplane bit (hyperplane_signature) before pairing — same defense
+    as the minhash doc-frequency cap, applied to vector space. Embeddings
+    shuffle once into their cell; components carry only ids.
+    """
+    from shovel_spark.operators.dedup import connected_components
+
+    cents = centroids if centroids is not None else kmeans_centroids(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(df, cents, vec_col, id_col)  # (id, cell, centroid_sim)
+    vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    x, y = vecs.alias("x"), vecs.alias("y")
+    sim = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs, iters=cc_iters)  # (id, component)
+    rsim = F.round(F.col("centroid_sim"), sim_decimals)
+    labeled = (
+        assigned.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("centroid_sim", rsim)
+    )
+    # keep = the component's (min centroid_sim, min id) member: one
+    # groupBy for the winner per component, then an equi-join back — no
+    # window over a potentially huge component
+    winner = F.struct(F.col("centroid_sim"), F.col(id_col).alias("wid"))
+    keep = (
+        labeled.groupBy("component")
+        .agg(F.min(winner).alias("w"))
+        .select("component", F.col("w.wid").alias("__keep_id"))
+    )
+    return (
+        labeled.join(keep, "component")
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            "component",
+            (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+        )
+    )

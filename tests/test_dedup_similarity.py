@@ -775,3 +775,45 @@ def test_capped_incremental_newly_hot_shingle(spark, tmp_path):
     )
     inc2 = dedup.incremental_minhash_pairs(spark, idx, delta2, threshold=0.3, **kw)
     assert inc2.count() == 0
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup policy: within a dup component keep the member farthest
+    from its cluster centroid (min rounded centroid_sim, ties -> min id);
+    singletons keep; pairs only form within a cell."""
+    rows = (
+        # cluster A around e1: 5 distinct members + a scaled copy of vec 0
+        [(i, [1.0, 0.3 * i, 0.0, 0.0]) for i in range(5)]
+        + [(1000, [2.0, 0.0, 0.0, 0.0])]          # copy of vec 0 (cosine 1)
+        # cluster B around e3: far from A, all mutually distinct
+        + [(100 + i, [0.0, 0.0, 1.0, 0.4 * i]) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        df, k=2, iters=2, threshold=0.9999, cc_iters=3
+    ).collect()}
+    assert len(out) == 10
+    # vec 0 and its scaled copy share a component; centroid sims tie after
+    # rounding, so the LOWER id keeps
+    assert out[0].component == out[1000].component
+    assert out[0].keep and not out[1000].keep
+    # distinct members are singletons and keep
+    for vid in (1, 2, 3, 4, 100, 101, 102, 103):
+        assert out[vid].component == vid and out[vid].keep, vid
+    # the two planted clusters land in different cells; A-B cross pairs
+    # never form (vec 100's copy would have paired otherwise)
+    assert {out[i].cell for i in range(5)} != {out[100 + i].cell for i in range(4)}
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    """Decisions are deterministic in the data, not the partitioning."""
+    rows = [(i, [float((i * 7) % 5 + 1), float((i * 3) % 4), 1.0, 0.5]) for i in range(40)]
+    rows += [(500 + i, [x * 3.0 for x in rows[i][1]]) for i in range(6)]  # copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {(r.vec_id, r.cell, r.component, r.keep)
+         for r in similarity.semantic_dedup(df, k=3, threshold=0.9999).collect()}
+    b = {(r.vec_id, r.cell, r.component, r.keep)
+         for r in similarity.semantic_dedup(df.repartition(13), k=3, threshold=0.9999).collect()}
+    assert a == b
+    kept = {v for v, _, _, k in a if k}
+    assert all(500 + i not in kept for i in range(6))  # every copy dropped

@@ -89,6 +89,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_kmeans_cells",
         "emb_hard_negatives",
         "docs_bigram_lm_scores",
+        "emb_semantic_dedup",
     }
     offenders = {}
     for name, fn in e.queries().items():
