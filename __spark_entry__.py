@@ -34,6 +34,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_image_dims",
     "docs_bigram_lm_scores",
     "emb_semantic_dedup",
+    "events_heavy_hitters_cm",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,9 +80,8 @@ _DRIVER_PRIORITY: list[str] = [
     "value_deciles",
     "anti_join_nations",
     "asof_prior_signup",
-    "broadcast_sink_counts",
-    # cube_priority_status + distinct_users_per_type rotate to round 6
-    # (window full at 50)
+    # broadcast_sink_counts / cube_priority_status /
+    # distinct_users_per_type rotate to round 6 (window full at 50)
 ]
 
 

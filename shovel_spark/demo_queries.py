@@ -1140,6 +1140,55 @@ def docs_bigram_lm_scores(spark, sf_dir):
     )
 
 
+@_register(
+    "events_heavy_hitters_cm",
+    """
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+    cells AS (
+      SELECT r,
+             ('0x' || substr(md5('cm' || r || ':' || k), 1, 8))::BIGINT % 256 AS bucket,
+             count(*) AS c
+      FROM ev, range(0, 4) t(r)
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id, k FROM ev),
+    probes AS (
+      SELECT user_id, r,
+             ('0x' || substr(md5('cm' || r || ':' || k), 1, 8))::BIGINT % 256 AS bucket
+      FROM keys, range(0, 4) t(r)
+    ),
+    est AS (
+      SELECT user_id, min(c) AS est
+      FROM probes JOIN cells USING (r, bucket)
+      GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM ev),
+    hot AS (SELECT user_id, est FROM est, tot WHERE est >= CAST(floor(n * 0.008) AS BIGINT)),
+    ex AS (
+      SELECT e.user_id, count(*) AS exact
+      FROM events e JOIN hot USING (user_id) GROUP BY 1
+    )
+    SELECT hot.user_id, est, exact FROM hot JOIN ex USING (user_id)
+    ORDER BY hot.user_id
+    """,
+)
+def events_heavy_hitters_cm(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py): a depth-4 x
+    width-256 sketch built in ONE map-side-combinable pass (bounded
+    shuffle state regardless of key skew — the sketch IS the skew
+    defense), estimates for every distinct key, shortlist at 0.8% of
+    traffic, exact recount of the shortlist only. md5-derived buckets
+    make the whole sketch engine-neutral: the oracle replays cells,
+    min-estimates, the no-false-negative election, and the exact
+    recount — est >= exact for every returned row by construction."""
+    from shovel_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_frac=0.008, depth=4, width=256).orderBy(
+        "user_id"
+    )
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).
