@@ -35,6 +35,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_bigram_lm_scores",
     "emb_semantic_dedup",
     "events_heavy_hitters_cm",
+    "events_hll_users",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,8 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "topk_parts_by_revenue",
     "value_deciles",
     "anti_join_nations",
-    "asof_prior_signup",
-    # broadcast_sink_counts / cube_priority_status /
+    # asof_prior_signup / broadcast_sink_counts / cube_priority_status /
     # distinct_users_per_type rotate to round 6 (window full at 50)
 ]
 

@@ -1189,6 +1189,73 @@ def events_heavy_hitters_cm(spark, sf_dir):
     )
 
 
+@_register(
+    "events_hll_users",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE strpos(reverse(bin(h // 64)), '1') END AS r
+      FROM hashed
+    ),
+    regs AS (SELECT bucket, max(r) AS reg FROM rho GROUP BY 1),
+    fr AS (
+      SELECT t.b AS bucket, coalesce(regs.reg, 0) AS reg
+      FROM range(0, 64) t(b) LEFT JOIN regs ON regs.bucket = t.b
+    ),
+    agg AS (
+      SELECT count(*) AS m,
+             sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS nonzero,
+             0.709 * 4096.0 / sum(power(2.0, -reg)) AS raw
+      FROM fr
+    ),
+    summary AS (
+      SELECT CASE WHEN raw <= 160.0 AND m - nonzero > 0
+                  THEN round(64.0 * ln(64.0 / (m - nonzero)), 4)
+                  ELSE round(raw, 4) END AS est,
+             (SELECT count(DISTINCT user_id) FROM events) AS exact
+      FROM agg
+    )
+    SELECT f.bucket, f.reg, s.est, s.exact
+    FROM fr f CROSS JOIN summary s
+    ORDER BY f.bucket
+    """,
+)
+def events_hll_users(spark, sf_dir):
+    """HyperLogLog distinct-user estimate (operators/sketches.py): a
+    64-register sketch whose registers are INTEGER-exact across engines —
+    bucket = low 6 hash bits, rho = lowest set bit of the rest, both from
+    the same md5-derived 60-bit hash, no float log anywhere in the
+    registers. The oracle rebuilds every register (64 rows, bit-for-bit)
+    plus the alpha-corrected estimate with linear-counting small-range
+    fallback, alongside the exact distinct count — the
+    bounded-state-vs-exact contrast a 10^12-row distinct would need (the
+    sketch is 64 rows and merges by max; the exact groupBy is the thing
+    that stops scaling)."""
+    from shovel_spark.operators.sketches import hll_build, hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    # sketch over DISTINCT hashes == sketch over the raw stream (register
+    # max is idempotent) — mirrors the oracle's DISTINCT for cheap replay
+    regs = hll_build(ev.select("user_id"), "user_id", b=6)
+    summary = hll_cardinality(regs, b=6, spark=spark).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact"))
+    ).select(F.round("est", 4).alias("est"), "exact")
+    m = 64
+    full = (
+        spark.range(m).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    return full.crossJoin(F.broadcast(summary)).select(
+        "bucket", "reg", "est", "exact"
+    ).orderBy("bucket")
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

@@ -107,3 +107,73 @@ def heavy_hitters(
         .agg(F.count("*").alias("exact"))
     )
     return hot.join(exact, key_col).select(key_col, "est", "exact")
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_BITS = 60  # md5-derived hash width used below (15 hex chars, sign-safe)
+
+
+def _hll_hash(key: Column) -> Column:
+    """60-bit engine-neutral hash: 15 hex chars of md5 as an unsigned int
+    (16 chars could overflow a signed BIGINT in SQL engines)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hll_build(
+    df: DataFrame, key_col: str, b: int = 6
+) -> DataFrame:
+    """(bucket, reg) HyperLogLog registers, m = 2^b rows max.
+
+    bucket = low b bits of the hash; reg = position of the lowest set bit
+    of the remaining 60-b bits (rho), computed with INTEGER comparisons
+    only — no float log2 — so any SQL engine reproduces the registers
+    bit-for-bit. All-zero remainder (hash a multiple of 2^60) pins reg at
+    its max, 60-b+1. One map-side-combinable groupBy: max per bucket."""
+    m = 1 << b
+    h = _hll_hash(F.col(key_col).cast("string"))
+    # integer shift, NOT division: float division of a 60-bit value loses
+    # low bits past the 52-bit mantissa — exactly the bits rho reads
+    rest = F.shiftright(h, b)
+    # rho = index of the lowest set bit + 1: nested integer WHENs built
+    # high-bit-first so the innermost (last-applied) test — bit 0 — wins
+    rho = F.lit(HLL_BITS - b + 1)
+    for i in range(HLL_BITS - b - 1, -1, -1):
+        rho = F.when((rest.bitwiseAND(F.lit(1 << i))) != 0, F.lit(i + 1)).otherwise(rho)
+    return (
+        df.select((h % m).alias("bucket"), rho.alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_estimate_expr(m: int) -> Column:
+    """Raw HLL estimate from (bucket, reg) rows aggregated over a frame
+    that includes EMPTY buckets as reg=0: alpha_m * m^2 / sum(2^-reg).
+    Use via hll_cardinality()."""
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return F.lit(alpha) * F.lit(float(m * m)) / F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+
+
+def hll_cardinality(registers: DataFrame, b: int = 6, spark=None) -> DataFrame:
+    """One row: (m, nonzero, est) — the raw estimate with HLL's small-range
+    (linear-counting) correction. Empty buckets count as reg=0."""
+    m = 1 << b
+    spark = spark or registers.sparkSession
+    full = (
+        spark.range(m).select(F.col("id").alias("bucket"))
+        .join(registers, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    agg = full.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("reg") > 0, 1).otherwise(0)).alias("nonzero"),
+        hll_estimate_expr(m).alias("raw"),
+    )
+    # linear counting below the standard 2.5m threshold with empty buckets
+    v = F.col("m") - F.col("nonzero")
+    est = F.when(
+        (F.col("raw") <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.col("m").cast("double") / v),
+    ).otherwise(F.col("raw"))
+    return agg.select("m", "nonzero", est.alias("est"))

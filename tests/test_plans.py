@@ -90,6 +90,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_hard_negatives",
         "docs_bigram_lm_scores",
         "emb_semantic_dedup",
+        "events_hll_users",
     }
     offenders = {}
     for name, fn in e.queries().items():

@@ -59,3 +59,49 @@ def test_sketch_cells_merge_additively(spark):
     ca, cb, cu = cells(a), cells(b), cells(a.unionAll(b))
     merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
     assert cu == merged
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL: estimate within the m=64 error envelope across 3 orders of
+    magnitude; registers merge by MAX (the union property); duplicate
+    rows never move a register."""
+    from shovel_spark.operators.sketches import hll_build, hll_cardinality
+
+    def keyed(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("k")
+        )
+
+    for true in (40, 1234, 20000):
+        df = keyed(0, true)
+        est = hll_cardinality(hll_build(df, "k", b=6), b=6).first().est
+        assert abs(est - true) / true < 0.35, (true, est)  # ~2.7 sigma at m=64
+
+    # union property: max-merge of two sketches == sketch of the union
+    a, b = keyed(0, 800), keyed(500, 1500)
+    ra = hll_build(a, "k", b=6).withColumnRenamed("reg", "ra")
+    rb = hll_build(b, "k", b=6).withColumnRenamed("reg", "rb")
+    merged = (
+        ra.join(rb, "bucket", "full")
+        .select("bucket",
+                F.greatest(F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))).alias("reg"))
+    )
+    union_regs = hll_build(a.unionAll(b), "k", b=6)
+    assert {(r.bucket, r.reg) for r in merged.collect()} == \
+           {(r.bucket, r.reg) for r in union_regs.collect()}
+
+    # duplicates are invisible to registers
+    dup = hll_build(a.unionAll(a).unionAll(a), "k", b=6)
+    assert {(r.bucket, r.reg) for r in dup.collect()} == \
+           {(r.bucket, r.reg) for r in hll_build(a, "k", b=6).collect()}
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """Tiny cardinalities route through the linear-counting branch and
+    land very close (it's near-exact when most buckets are empty)."""
+    from shovel_spark.operators.sketches import hll_build, hll_cardinality
+
+    df = spark.range(7).select(F.concat(F.lit("x"), F.col("id").cast("string")).alias("k"))
+    r = hll_cardinality(hll_build(df, "k", b=6), b=6).first()
+    assert r.nonzero <= 7
+    assert abs(r.est - 7) < 2.5
