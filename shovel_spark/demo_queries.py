@@ -1256,6 +1256,63 @@ def events_hll_users(spark, sf_dir):
     ).orderBy("bucket")
 
 
+@_register(
+    "events_bloom_signup_filter",
+    """
+    WITH su AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS uk
+      FROM events WHERE event_type = 'signup'
+    ),
+    setpos AS (
+      SELECT ('0x' || substr(md5('bf' || i || ':' || uk), 1, 8))::BIGINT % 4096 AS pos
+      FROM su, range(0, 4) t(i)
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(power(2, pos % 32) AS BIGINT)) AS w
+      FROM setpos GROUP BY 1
+    ),
+    pr AS (
+      SELECT event_id, user_id, event_type, i,
+             ('0x' || substr(md5('bf' || i || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 4096 AS pos
+      FROM events, range(0, 4) t(i)
+    ),
+    hit AS (
+      SELECT event_id, user_id, event_type,
+             sum(CASE WHEN w.w IS NOT NULL
+                       AND (w.w & CAST(power(2, pos % 32) AS BIGINT)) != 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM pr LEFT JOIN words w ON w.word = pos // 32
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM hit WHERE nh = 4
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_bloom_signup_filter(spark, sf_dir):
+    """Broadcast Bloom semi-filter (operators/sketches.py): the scale
+    answer to semi-joining a huge fact stream against a key set too big
+    to broadcast as a hash table — m bits of state however many keys, no
+    false negatives, map-only on the fact side. Here: a 4096-bit / 4-probe
+    filter built from signed-up users, applied to the whole event stream;
+    per-type counts of surviving rows (false positives, if the bits
+    collide, are INCLUDED — both engines rebuild the identical bit array,
+    so the oracle matches bit-for-bit either way)."""
+    from shovel_spark.operators.sketches import bloom_build, bloom_filter
+
+    ev = _t(spark, sf_dir, "events")
+    signup_users = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    bloom = bloom_build(signup_users, "user_id", m_bits=4096, k=4)
+    kept = bloom_filter(ev, bloom, "user_id", m_bits=4096, k=4)
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

@@ -177,3 +177,74 @@ def hll_cardinality(registers: DataFrame, b: int = 6, spark=None) -> DataFrame:
         F.lit(float(m)) * F.log(F.col("m").cast("double") / v),
     ).otherwise(F.col("raw"))
     return agg.select("m", "nonzero", est.alias("est"))
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+
+def _bloom_pos(key: Column, probe: int, m_bits: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"bf{probe}:"), key))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """ONE-row DataFrame holding the filter: (bits array<long>, m_bits, k)
+    — 32 bits used per word (sign-safe shifts in every engine).
+
+    The Bloom filter is the scale answer to "semi-join a 100 TB fact
+    against a key set too large to broadcast as a hash table": m bits of
+    state regardless of key count, no false NEGATIVES (a missed key is
+    impossible), a tunable false-positive trickle the downstream exact
+    join absorbs. Spark's runtime row-level filtering does this implicitly
+    for some joins; this is the explicit, engine-neutral operator form —
+    md5-positioned bits, so an external SQL engine rebuilds the exact same
+    bit array and the whole filtered result replays value-for-value.
+
+    Build shape: k explode + groupBy(word) bit_or — map-side combinable,
+    output bounded at m_bits/32 rows, assembled into one array row (stays
+    a lazy plan; broadcast at use site)."""
+    kc = F.col(key_col).cast("string")
+    positions = F.array(*[_bloom_pos(kc, i, m_bits) for i in range(k)])
+    words = (
+        keys.select(F.explode(positions).alias("pos"))
+        .select((F.col("pos") / 32).cast("long").alias("word"),
+                (F.col("pos") % 32).cast("int").alias("bit"))
+        .groupBy("word")
+        # pow(2,bit) is exact for bit <= 31 (word width) and, unlike
+        # shiftleft, accepts a COLUMN bit count in this pyspark version
+        .agg(F.bit_or(F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("w"))
+    )
+    n_words = (m_bits + 31) // 32
+    spark = keys.sparkSession
+    dense = (
+        spark.range(n_words).select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce(F.col("w"), F.lit(0)).alias("w"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))), lambda s: s["w"]
+        ).alias("bits")
+    ).select(F.lit(m_bits).alias("__m_bits"), F.lit(k).alias("__k"), "bits")
+
+
+def bloom_filter(
+    df: DataFrame, bloom: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Rows of ``df`` whose key MIGHT be in the built set (all k probe bits
+    set) — the broadcast prefilter a shuffle semi-join then settles
+    exactly. The one-row filter broadcasts; the fact side is map-only."""
+    kc = F.col(key_col).cast("string")
+    pred = F.lit(True)
+    for i in range(k):
+        pos = _bloom_pos(kc, i, m_bits)
+        word = (pos / 32).cast("long")
+        bit = (pos % 32).cast("int")
+        mask = F.pow(F.lit(2.0), bit).cast("long")
+        hit = (
+            F.element_at(F.col("bits"), (word + 1).cast("int")).bitwiseAND(mask) != 0
+        )
+        pred = pred & hit
+    return df.crossJoin(F.broadcast(bloom)).filter(pred).drop("bits", "__m_bits", "__k")

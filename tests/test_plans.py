@@ -91,6 +91,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "docs_bigram_lm_scores",
         "emb_semantic_dedup",
         "events_hll_users",
+        "events_bloom_signup_filter",
     }
     offenders = {}
     for name, fn in e.queries().items():

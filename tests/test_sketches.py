@@ -105,3 +105,36 @@ def test_hll_small_range_uses_linear_counting(spark):
     r = hll_cardinality(hll_build(df, "k", b=6), b=6).first()
     assert r.nonzero <= 7
     assert abs(r.est - 7) < 2.5
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom semi-filter: every true key survives (no false negatives);
+    most non-keys are pruned; the filter frame carries no key columns
+    back into the output."""
+    from shovel_spark.operators.sketches import bloom_build, bloom_filter
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("k")
+    )
+    bloom = bloom_build(keys, "k", m_bits=4096, k=4)
+    probe = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("k")
+    )
+    kept = bloom_filter(probe, bloom, "k", m_bits=4096, k=4)
+    assert kept.columns == ["k"]
+    got = {r.k for r in kept.collect()}
+    assert {f"u{i}" for i in range(100)} <= got        # no false negatives
+    assert len(got) < 100 + 0.05 * 4900                # fp rate well under 5%
+
+
+def test_bloom_tiny_filter_has_false_positives_but_never_misses(spark):
+    """An overloaded filter (64 bits, 200 keys) floods with false
+    positives yet still never misses — the guarantee is one-sided."""
+    from shovel_spark.operators.sketches import bloom_build, bloom_filter
+
+    keys = spark.range(200).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=64, k=2)
+    probe = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    got = {r.k for r in bloom_filter(probe, bloom, "k", m_bits=64, k=2).collect()}
+    assert {str(i) for i in range(200)} <= got
+    assert len(got) > 200  # saturation forces false positives
