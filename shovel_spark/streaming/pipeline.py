@@ -122,6 +122,7 @@ def run_neardup_ingest_once(
     bands: int = 8,
     family: str = "xxhash64",
     schema: str = "doc_id long, text string",
+    max_doc_freq: int | None = None,
 ) -> None:
     """Streaming near-dup-filtered ingest: each micro-batch is deduped
     against EVERYTHING already ingested (the standing MinHash index) plus
@@ -148,11 +149,17 @@ def run_neardup_ingest_once(
 
     Trigger.AvailableNow semantics like run_stream_once: process what's
     there, then stop; re-invocations resume from the checkpoint.
+
+    ``max_doc_freq`` applies the hot-shingle cap per batch (deterministic
+    in the batch, replay-safe) before signing and before the index
+    append — dedup.append_to_minhash_index's per-batch skew fuse.
     """
     mh_kw = dict(
         text_col=text_col, id_col=id_col, k=k,
         num_hashes=num_hashes, bands=bands, family=family,
     )
+    if max_doc_freq is not None:
+        mh_kw["max_doc_freq"] = max_doc_freq
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _process_neardup_batch(

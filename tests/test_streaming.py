@@ -257,3 +257,26 @@ def test_neardup_batches_survive_default_static_overwrite(spark, tmp_path):
     finally:
         if saved is not None:
             spark.conf.set(conf_key, saved)
+
+
+def test_neardup_ingest_with_doc_freq_cap(spark, tmp_path):
+    """max_doc_freq threads through the streaming ingest: batch-wide
+    boilerplate (hot shingles) can't make every doc in the batch a
+    near-dup of every other — with the cap, distinct docs all survive."""
+    from shovel_spark.streaming.pipeline import run_neardup_ingest_once
+
+    boiler = "all rights reserved terms of service privacy policy contact us"
+    inp, idx, out, ckpt = (str(tmp_path / d) for d in ("in", "idx", "out", "ck"))
+    rows = [(i, f"{boiler} unique{i} body{i} words{i} here{i} now{i}") for i in range(8)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("append").parquet(inp)
+    run_neardup_ingest_once(
+        spark, inp, idx, out, ckpt, threshold=0.3, max_doc_freq=4
+    )
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs.count() == 8  # capped: boilerplate can't collapse the batch
+
+    # control: uncapped, the shared boilerplate dominates the shingle sets
+    # and collapses the batch to one survivor
+    idx2, out2, ckpt2 = (str(tmp_path / d) for d in ("idx2", "out2", "ck2"))
+    run_neardup_ingest_once(spark, inp, idx2, out2, ckpt2, threshold=0.3)
+    assert spark.read.parquet(os.path.join(out2, "docs")).count() < 8
