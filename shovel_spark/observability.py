@@ -102,12 +102,21 @@ class ProgressMonitor:
         ]
         # append: successive runs against the same out_dir (crash + resume)
         # accumulate their progress history, like the run-history ledger
-        (
-            self.spark.createDataFrame(rows, PROGRESS_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.path)
-        )
+        try:
+            (
+                self.spark.createDataFrame(rows, PROGRESS_SCHEMA)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(self.path)
+            )
+        except Exception:  # noqa: BLE001
+            # when the monitored body itself raised (dead context,
+            # unwritable out_dir), a failing progress write must not MASK
+            # that original exception — swallow ours and let theirs
+            # propagate. A write failure after a SUCCESSFUL body still
+            # raises: the caller asked for a progress record.
+            if exc_type is None:
+                raise
 
 
 def read_progress(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -419,6 +419,16 @@ def _write_minhash_index(
             )
     else:
         sh = sh_raw
+        if batch is None and mode == "overwrite":
+            # an UNCAPPED rebuild must clear any prior build's hot_df —
+            # stale totals would otherwise feed a later explicitly-capped
+            # probe's doc-frequency sums from a corpus that no longer exists
+            shk_t = "string" if family == "md5" else "long"
+            (
+                df.sparkSession.createDataFrame([], f"shk {shk_t}, df long")
+                .write.mode("overwrite")
+                .parquet(f"{path}/hot_df")
+            )
     if batch is None and mode == "overwrite":
         spark = df.sparkSession
         meta = spark.createDataFrame(
@@ -465,10 +475,14 @@ def _write_minhash_index(
 def _read_index_cap(spark, index_path: str) -> int | None:
     """Build-time ``max_doc_freq`` from ``{index_path}/meta`` (None for
     uncapped or pre-meta indexes). JSON writes drop null fields, so an
-    uncapped build's meta row simply lacks the column."""
+    uncapped build's meta row simply lacks the column. Only missing-path /
+    unreadable-schema (AnalysisException) means "no meta" — transient I/O
+    failures must propagate, not silently disable the cap."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.json(f"{index_path}/meta").collect()
-    except Exception:
+    except AnalysisException:
         return None
     if not rows:
         return None
@@ -481,10 +495,13 @@ def _read_hot_df(spark, index_path: str, family: str):
     Totals are cumulative and appended over time (build row, then one row
     per delta that re-crossed the cap), so MAX per key is the latest exact
     total; SUM would double-count the build contribution. Missing table
-    (uncapped or pre-cap index) reads as empty."""
+    (uncapped or pre-cap index; AnalysisException only — real I/O errors
+    propagate rather than silently undercounting totals) reads as empty."""
+    from pyspark.errors import AnalysisException
+
     try:
         hot = spark.read.parquet(f"{index_path}/hot_df")
-    except Exception:
+    except AnalysisException:
         shk_t = "string" if family == "md5" else "long"
         return spark.createDataFrame([], f"shk {shk_t}, __hdf long")
     return hot.groupBy("shk").agg(F.max("df").alias("__hdf"))
@@ -568,18 +585,29 @@ def incremental_minhash_pairs(
     idx_live = idx_keys.join(delta_ids_pre, id_col, "left_anti")
 
     if max_doc_freq is not None:
-        # every shingle that is over-cap NOW either was over-cap at build
-        # (already absent from the index, totals live in hot_df) or is
-        # present in the delta (only delta rows can grow a total) — so
-        # totals need computing for DELTA keys only, one groupBy each side
-        # plus a broadcast-sized join on hot keys.
+        hot_stored = _read_hot_df(spark, index_path, family).localCheckpoint(eager=False)
+        # a shingle capped by a PREVIOUS delta (update_index appended its
+        # total to hot_df) still has its build-era rows in shingles/ —
+        # they must leave the verification sets even when the current
+        # delta doesn't contain the shingle, or set sizes inflate and
+        # borderline pairs deflate below threshold vs a full capped re-run
+        idx_live = idx_live.join(hot_stored.select("shk"), "shk", "left_anti")
+        # beyond already-stored hot keys, a shingle can be over-cap NOW
+        # only if the delta contains it (only delta rows grow a total) —
+        # so fresh totals need computing for DELTA keys only: semi-join
+        # the index rows down to delta keys BEFORE the groupBy (the
+        # aggregation is then O(delta-matching rows), keeping the
+        # documented O(delta + collisions) probe cost).
+        delta_key_set = new_keys.select("shk").distinct()
+        idx_df = (
+            idx_live.join(delta_key_set, "shk", "left_semi")
+            .groupBy("shk")
+            .agg(F.count("*").alias("__idf"))
+        )
         hot_now = (
             new_keys.groupBy("shk").agg(F.count("*").alias("__ddf"))
-            .join(
-                idx_live.groupBy("shk").agg(F.count("*").alias("__idf")),
-                "shk", "left",
-            )
-            .join(_read_hot_df(spark, index_path, family), "shk", "left")
+            .join(idx_df, "shk", "left")
+            .join(hot_stored, "shk", "left")
             .filter(
                 F.col("__ddf")
                 + F.coalesce(F.col("__idf"), F.lit(0))

@@ -60,7 +60,9 @@ def cm_estimate(
 ) -> DataFrame:
     """(key, est) for each candidate key: min over the key's depth cells —
     the count-min estimate, >= the true count always (collisions only add).
-    The sketch side is depth*width rows — broadcast it."""
+    The sketch side is depth*width rows — broadcast it. The build stores
+    only NON-ZERO cells, so the join is left + coalesce(0): a key whose
+    cells were never touched estimates 0, it doesn't vanish."""
     k = F.col(key_col).cast("string")
     probes = keys.select(
         F.col(key_col),
@@ -74,9 +76,9 @@ def cm_estimate(
         ).alias("__c"),
     ).select(key_col, F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
 
 
@@ -151,7 +153,9 @@ def hll_estimate_expr(m: int) -> Column:
     """Raw HLL estimate from (bucket, reg) rows aggregated over a frame
     that includes EMPTY buckets as reg=0: alpha_m * m^2 / sum(2^-reg).
     Use via hll_cardinality()."""
-    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    # standard HLL constants: fixed alpha for the small register counts,
+    # the asymptotic formula for m >= 128
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     return F.lit(alpha) * F.lit(float(m * m)) / F.sum(F.pow(F.lit(2.0), -F.col("reg")))
 
 
@@ -231,11 +235,25 @@ def bloom_build(
 
 
 def bloom_filter(
-    df: DataFrame, bloom: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4
+    df: DataFrame, bloom: DataFrame, key_col: str,
+    m_bits: int | None = None, k: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose key MIGHT be in the built set (all k probe bits
     set) — the broadcast prefilter a shuffle semi-join then settles
-    exactly. The one-row filter broadcasts; the fact side is map-only."""
+    exactly. The one-row filter broadcasts; the fact side is map-only.
+
+    ``m_bits``/``k`` default to the values STORED in the filter row (one
+    tiny driver read) — probing with parameters that differ from the build
+    would silently break the no-false-negative guarantee, which is the
+    whole point; pass them explicitly only to skip the metadata read when
+    you know they match."""
+    if m_bits is None or k is None:
+        # materialize once: the metadata read would otherwise run the
+        # whole build job a second time when the crossJoin executes
+        bloom = bloom.localCheckpoint()
+        meta = bloom.select("__m_bits", "__k").first()
+        m_bits = int(meta["__m_bits"]) if m_bits is None else m_bits
+        k = int(meta["__k"]) if k is None else k
     kc = F.col(key_col).cast("string")
     pred = F.lit(True)
     for i in range(k):

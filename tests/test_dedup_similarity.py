@@ -817,3 +817,68 @@ def test_semantic_dedup_partition_invariant(spark):
     assert a == b
     kept = {v for v, _, _, k in a if k}
     assert all(500 + i not in kept for i in range(6))  # every copy dropped
+
+
+def test_capped_incremental_prior_delta_hot_shingle_parity(spark, tmp_path):
+    """Regression (round-5 review): a shingle capped by a PREVIOUS delta
+    (update_index recorded its total in hot_df) keeps build-era rows in
+    shingles/ — a LATER delta's verification must exclude them even when
+    that delta also contains the shingle's docs, or set sizes inflate and
+    jaccard drifts from the full capped re-run."""
+    B = "click here now please thanks"
+    kw = dict(k=3, num_hashes=16, bands=16, family="xxhash64")
+    corpus = spark.createDataFrame(
+        [(1, f"{B} alpha beta gamma delta epsilon"),
+         (2, f"{B} zeta eta theta iota kappa"),
+         (3, f"{B} lam mu nu xi omicron")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhprior")
+    dedup.build_minhash_index(corpus, idx, max_doc_freq=3, **kw)  # df(B)=3 <= 3: stored
+    d1 = spark.createDataFrame(
+        [(10, f"{B} pi rho sigma tau upsilon")], "doc_id long, text string"
+    )
+    # B crosses the cap (3+1 > 3); update_index records its total in hot_df
+    dedup.incremental_minhash_pairs(
+        spark, idx, d1, threshold=0.9, update_index=True, **kw
+    ).count()
+    assert dedup._read_hot_df(spark, idx, "xxhash64").count() > 0
+
+    # delta 2: an exact copy of doc 2's text — candidacy survives the
+    # signature drift (bands == num_hashes: one agreeing hash suffices)
+    d2 = spark.createDataFrame(
+        [(20, f"{B} zeta eta theta iota kappa")], "doc_id long, text string"
+    )
+    inc = {(r.id_a, r.id_b): round(r.jaccard, 9)
+           for r in dedup.incremental_minhash_pairs(spark, idx, d2, threshold=0.05, **kw).collect()}
+    assert (2, 20) in inc
+    full = {(r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in dedup.minhash_dedup_pairs(
+                corpus.unionByName(d1).unionByName(d2),
+                threshold=0.05, max_doc_freq=3, **kw
+            ).collect()}
+    # the found pair's jaccard must equal the full capped re-run's value
+    assert inc[(2, 20)] == full[(2, 20)] == 1.0
+
+
+def test_uncapped_rebuild_clears_stale_hot_df(spark, tmp_path):
+    """An uncapped rebuild over a previously capped index must clear
+    hot_df — stale totals would wrongly push live shingles over the cap
+    in a later explicitly-capped probe."""
+    kw = dict(k=3, num_hashes=16, bands=8, family="xxhash64")
+    boiler = "the very same sentence repeated in every single document here"
+    c1 = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i} words{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhstale")
+    dedup.build_minhash_index(c1, idx, max_doc_freq=3, **kw)
+    assert dedup._read_hot_df(spark, idx, "xxhash64").count() > 0
+    # uncapped rebuild over a different corpus: hot_df must read empty
+    c2 = spark.createDataFrame(
+        [(1, "completely fresh corpus about mountains and rivers flowing")],
+        "doc_id long, text string",
+    )
+    dedup.build_minhash_index(c2, idx, **kw)
+    assert dedup._read_hot_df(spark, idx, "xxhash64").count() == 0
+    assert dedup._read_index_cap(spark, idx) is None

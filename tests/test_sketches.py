@@ -138,3 +138,29 @@ def test_bloom_tiny_filter_has_false_positives_but_never_misses(spark):
     got = {r.k for r in bloom_filter(probe, bloom, "k", m_bits=64, k=2).collect()}
     assert {str(i) for i in range(200)} <= got
     assert len(got) > 200  # saturation forces false positives
+
+
+def test_cm_estimate_absent_key_is_zero_not_missing(spark):
+    """A candidate key absent from the build estimates 0 (left join +
+    coalesce) — it must not vanish from the output."""
+    from shovel_spark.operators.sketches import cm_estimate, count_min_build
+
+    built = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    sketch = count_min_build(built, "k", depth=4, width=256)
+    probe = spark.createDataFrame([("a",), ("zz-not-built",)], "k string")
+    est = {r.k: r.est for r in cm_estimate(sketch, probe, "k", 4, 256).collect()}
+    assert est["a"] >= 2
+    assert est["zz-not-built"] == 0
+
+
+def test_bloom_filter_reads_stored_parameters(spark):
+    """bloom_filter defaults m_bits/k to the values stored in the filter
+    row — a build/probe parameter mismatch would break the
+    no-false-negative guarantee."""
+    from shovel_spark.operators.sketches import bloom_build, bloom_filter
+
+    keys = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=8192, k=6)  # non-default params
+    probe = spark.range(200).select(F.col("id").cast("string").alias("k"))
+    got = {r.k for r in bloom_filter(probe, bloom, "k").collect()}  # no params
+    assert {str(i) for i in range(50)} <= got
