@@ -1313,6 +1313,47 @@ def events_bloom_signup_filter(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_weighted_sample",
+    r"""
+    WITH w AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    keyed AS (
+      SELECT doc_id, tokens,
+             round(power(
+               ((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 & 4503599627370495) + 1) / 4503599627370497.0,
+               1.0 / tokens), 12) AS wkey
+      FROM w WHERE tokens > 0
+    )
+    SELECT doc_id, tokens FROM keyed
+    ORDER BY wkey DESC, doc_id ASC LIMIT 40
+    """,
+)
+def docs_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, operators/sampling.weighted_sample_k): token count as
+    the weight — longer docs proportionally likelier — u drawn from the
+    shared md5 hash wire format, key = u^(1/w) rounded to 12 decimals
+    with id tie-break so both engines elect the IDENTICAL 40 rows. Plans
+    as per-partition TakeOrdered + driver merge: no corpus shuffle."""
+    from shovel_spark.operators.sampling import weighted_sample_k
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+        )
+    )
+    return weighted_sample_k(
+        d, k=40, weight_col="tokens", id_col="doc_id", seed=7, family="md5"
+    ).select("doc_id", "tokens")
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

@@ -298,3 +298,59 @@ def temperature_fractions(
         k: 0.0 if counts[k] == 0 else min(1.0, target_total * w[k] / z / counts[k])
         for k in counts
     }
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    family: str = "xxhash64",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, k rows (per group
+    with ``group_cols``): Efraimidis–Spirakis A-ES — draw a reproducible
+    uniform u_i from hash(seed, id), rank by key_i = u_i^(1/w_i), keep the
+    top k. Inclusion probability rises with weight exactly as sequential
+    weighted reservoir sampling prescribes, but the computation is one
+    map-only key expression + a top-k — order-free, partition-free,
+    engine-replayable (the LLM-pipeline use: quality-weighted corpus
+    draws where doubling a doc's quality score doubles its draw odds).
+
+    Determinism details: u = (hash_52bits + 1) / (2^52 + 1) ∈ (0,1) — a
+    dyadic rational both engines represent exactly; the ranking key is
+    ROUNDED to 12 decimals with the id as tie-break, so an
+    oracle ordering by the same rounded key selects the identical set
+    even if pow() differs in the last ulp. Rows with weight <= 0 or NULL
+    never qualify (their key sorts below every positive-weight row).
+
+    Scale: global top-k plans as per-partition TakeOrdered + driver merge
+    (no shuffle of the corpus); grouped top-k is a WindowGroupLimit —
+    rank <= k prunes before the sort materializes a full group.
+    """
+    u = (_hash_long(F.col(id_col), seed, family).bitwiseAND(F.lit((1 << 52) - 1)) + 1) / F.lit(
+        float((1 << 52) + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(
+        w > 0, F.round(F.pow(u, F.lit(1.0) / w), 12)
+    ).otherwise(F.lit(-1.0))
+    ranked = df.withColumn("__wkey", key)
+    if group_cols:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.desc("__wkey"), F.asc(id_col)
+        )
+        return (
+            ranked.withColumn("__rn", F.row_number().over(win))
+            .filter((F.col("__rn") <= k) & (F.col("__wkey") > 0))
+            .drop("__rn", "__wkey")
+        )
+    return (
+        ranked.filter(F.col("__wkey") > 0)
+        .orderBy(F.desc("__wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

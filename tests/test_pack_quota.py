@@ -250,3 +250,35 @@ def test_write_jsonl_shards_roundtrip(spark, tmp_path):
 
     write_jsonl_shards(df, out, "n_tokens", budget=1000, num_buckets=4)
     assert read_all() == got  # deterministic re-run
+
+
+def test_weighted_sample_k_properties(spark):
+    """A-ES weighted sampling: deterministic, partition-invariant,
+    weight-monotone (10x weight ~10x inclusion odds over many seeds),
+    zero/NULL weights never selected, grouped variant caps per group."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(210)]
+    rows += [(500, 0.0), (501, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    a = {r.doc_id for r in weighted_sample_k(df, 30, "w").collect()}
+    b = {r.doc_id for r in weighted_sample_k(df.repartition(17), 30, "w").collect()}
+    assert a == b and len(a) == 30
+    assert 500 not in a and 501 not in a
+
+    # heavy keys (w=100, 10 of them vs 200 light) should dominate across
+    # seeds: expected heavy inclusion >> their 1/21 population share
+    heavy_hits = 0
+    for seed in range(8):
+        got = {r.doc_id for r in weighted_sample_k(df, 30, "w", seed=seed).collect()}
+        heavy_hits += sum(1 for d in got if d < 10)
+    assert heavy_hits >= 8 * 6  # >= 6 of 10 heavy rows per draw on average
+
+    # grouped: k per group
+    g = df.withColumn("grp", (F.col("doc_id") % 3).cast("int"))
+    out = weighted_sample_k(g, 5, "w", group_cols=["grp"])
+    per = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in per.values()) and len(per) == 3
