@@ -1354,6 +1354,230 @@ def docs_weighted_sample(spark, sf_dir):
     ).select("doc_id", "tokens")
 
 
+@_register(
+    "docs_dedup_suite",
+    r"""
+    WITH base AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    unioned AS MATERIALIZED (
+      SELECT doc_id, text FROM base
+      UNION ALL SELECT doc_id + 100000, text FROM base
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[2:], ' ')
+      FROM base WHERE doc_id < 12
+      UNION ALL
+      SELECT doc_id + 300000,
+             'paraphrase edition ' || doc_id ||
+             ' entirely different synthetic wording ' || doc_id || ' variant'
+      FROM base WHERE doc_id >= 150 AND doc_id < 160
+    ),
+    keep1 AS (
+      SELECT min(doc_id) AS doc_id
+      FROM unioned GROUP BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+    ),
+    s1 AS MATERIALIZED (SELECT u.doc_id, u.text FROM unioned u JOIN keep1 USING (doc_id)),
+    corpus AS MATERIALIZED (SELECT doc_id, text FROM s1),
+    {chain},
+    nedges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    n0 AS (SELECT DISTINCT src AS id, src AS label FROM nedges),
+    n1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM n0 l LEFT JOIN nedges g ON g.src = l.id LEFT JOIN n0 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    n2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM n1 l LEFT JOIN nedges g ON g.src = l.id LEFT JOIN n1 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    n3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM n2 l LEFT JOIN nedges g ON g.src = l.id LEFT JOIN n2 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    drop2 AS (SELECT id FROM n3 WHERE label != id),
+    s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT id FROM drop2)),
+    evec AS MATERIALIZED (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 300000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      FROM embeddings WHERE vec_id >= 150 AND vec_id < 160
+    ),
+    e AS MATERIALIZED (SELECT s2.doc_id AS vec_id, evec.v FROM s2 JOIN evec USING (doc_id)),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS centroid
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    a1 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c0 GROUP BY vec_id
+    ),
+    m1 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a1.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a1 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m1 GROUP BY 1),
+    a2 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c1 GROUP BY vec_id
+    ),
+    m2 AS (
+      SELECT cell, pos, round(avg(val), 6) AS m FROM (
+        SELECT a2.cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e JOIN a2 USING (vec_id)
+      ) GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m2 GROUP BY 1),
+    a3 AS (
+      SELECT vec_id, arg_max(cell, list_cosine_similarity(v, centroid)) AS cell
+      FROM e, c2 GROUP BY vec_id
+    ),
+    av AS MATERIALIZED (SELECT e.vec_id, a3.cell, e.v FROM e JOIN a3 USING (vec_id)),
+    prs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.999
+    ),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    g0 AS (SELECT DISTINCT src AS id, src AS label FROM sedges),
+    g1 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM g0 l LEFT JOIN sedges g ON g.src = l.id LEFT JOIN g0 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    g2 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM g1 l LEFT JOIN sedges g ON g.src = l.id LEFT JOIN g1 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    g3 AS (
+      SELECT l.id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+      FROM g2 l LEFT JOIN sedges g ON g.src = l.id LEFT JOIN g2 ln ON ln.id = g.dst
+      GROUP BY l.id, l.label
+    ),
+    lab AS (
+      SELECT av.vec_id, coalesce(g3.label, av.vec_id) AS component,
+             round(list_cosine_similarity(av.v, c2.centroid), 6) AS cs
+      FROM av JOIN c2 USING (cell) LEFT JOIN g3 ON g3.id = av.vec_id
+    ),
+    mn AS (SELECT component, min(cs) AS mcs FROM lab GROUP BY 1),
+    kp AS (
+      SELECT lab.component, min(lab.vec_id) AS kid
+      FROM lab JOIN mn ON lab.component = mn.component AND lab.cs = mn.mcs
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT lab.vec_id AS doc_id
+      FROM lab JOIN kp USING (component) WHERE lab.vec_id = kp.kid
+    )
+    SELECT 1 AS stage,
+           (SELECT count(*) FROM unioned) AS n_in,
+           (SELECT count(*) FROM s1) AS n_out,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM s1) AS id_sum
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM s2)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM s2), (SELECT count(*) FROM s3),
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM s3)
+    ORDER BY stage
+    """.replace("{chain}", _nd_chain_ctes(30)),
+)
+def docs_dedup_suite(spark, sf_dir):
+    """CAPSTONE: the full dedup suite composed end-to-end — exact →
+    capped MinHash near-dup → SemDeDup semantic — each stage's survivors
+    feeding the next, with plantings that only the intended stage can
+    catch: byte-identical copies (stage 1), first-word-dropped near-dups
+    (stage 2), and rephrased docs whose EMBEDDINGS are scale-copies of
+    their originals (distinct text — invisible to stages 1-2, cosine
+    exactly 1 — caught by stage 3). Output: (stage, n_in, n_out, id_sum)
+    — the id sums pin every stage's exact survivor SET, and the oracle
+    replays all three tiers (fingerprint election, capped shingle chain +
+    3 CC rounds, k-means trajectory + in-cell pairing + keep election) in
+    one SQL statement."""
+    from shovel_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from shovel_spark.operators.similarity import semantic_dedup
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    para = base.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 160)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("paraphrase edition "), F.col("doc_id").cast("string"),
+            F.lit(" entirely different synthetic wording "),
+            F.col("doc_id").cast("string"), F.lit(" variant"),
+        ).alias("text"),
+    )
+    corpus = (
+        base
+        .unionByName(base.withColumn("doc_id", F.col("doc_id") + 100000))
+        .unionByName(
+            base.filter(F.col("doc_id") < 12)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", _drop_first_word("text"))
+        )
+        .unionByName(para)
+    )
+    s1 = exact_dedup(corpus).localCheckpoint(eager=False)
+    pairs2 = minhash_dedup_pairs(
+        s1, threshold=0.5, k=3, num_hashes=16, bands=8, family="md5",
+        max_doc_freq=30,
+    )
+    cc = connected_components(pairs2, iters=3)
+    drop2 = cc.filter(F.col("component") != F.col("id")).select("id")
+    s2 = s1.join(
+        drop2.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    evec = emb.filter(F.col("doc_id") < 200).unionByName(
+        emb.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 160)).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        )
+    )
+    e3 = s2.select("doc_id").join(evec, "doc_id")
+    sem = semantic_dedup(
+        e3, k=4, iters=2, threshold=0.999, cc_iters=3, id_col="doc_id"
+    )
+    s3 = sem.filter(F.col("keep")).select("doc_id").localCheckpoint(eager=False)
+
+    def stage(n, df_in, df_out):
+        return (
+            df_in.agg(F.count("*").alias("n_in"))
+            .crossJoin(
+                df_out.agg(
+                    F.count("*").alias("n_out"),
+                    F.sum("doc_id").alias("id_sum"),
+                )
+            )
+            .select(F.lit(n).alias("stage"), "n_in", "n_out", "id_sum")
+        )
+
+    return (
+        stage(1, corpus, s1)
+        .unionByName(stage(2, s1, s2))
+        .unionByName(stage(3, s2, s3))
+        .orderBy("stage")
+    )
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

@@ -92,6 +92,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_semantic_dedup",
         "events_hll_users",
         "events_bloom_signup_filter",
+        "docs_dedup_suite",
     }
     offenders = {}
     for name, fn in e.queries().items():
