@@ -39,6 +39,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_bloom_signup_filter",
     "docs_weighted_sample",
     "docs_dedup_suite",
+    "events_hll_users_by_type",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,10 +80,10 @@ _DRIVER_PRIORITY: list[str] = [
     "salted_join_user_value",
     "salted_priority_counts",
     "semi_join_segments",
-    "sessionize_30m",
-    # topk_parts_by_revenue / value_deciles / anti_join_nations /
-    # asof_prior_signup / broadcast_sink_counts / cube_priority_status /
-    # distinct_users_per_type rotate to round 6 (window full at 50)
+    # sessionize_30m / topk_parts_by_revenue / value_deciles /
+    # anti_join_nations / asof_prior_signup / broadcast_sink_counts /
+    # cube_priority_status / distinct_users_per_type rotate to round 6
+    # (window full at 50)
 ]
 
 

@@ -1578,6 +1578,60 @@ def docs_dedup_suite(spark, sf_dir):
     )
 
 
+@_register(
+    "events_hll_users_by_type",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE strpos(reverse(bin(h // 64)), '1') END AS r
+      FROM hashed
+    ),
+    regs AS (SELECT event_type, bucket, max(r) AS reg FROM rho GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS nz, sum(power(2.0, -reg)) AS s
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, nz,
+             CASE WHEN (0.709 * 4096.0 / (s + (64 - nz))) <= 160.0 AND 64 - nz > 0
+                  THEN round(64.0 * ln(64.0 / (64 - nz)), 4)
+                  ELSE round(0.709 * 4096.0 / (s + (64 - nz)), 4) END AS est
+      FROM agg
+    ),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1)
+    SELECT e.event_type, nz AS nonzero, est, exact
+    FROM est e JOIN ex USING (event_type) ORDER BY 1
+    """,
+)
+def events_hll_users_by_type(spark, sf_dir):
+    """GROUPED HyperLogLog (sketches.hll_build_grouped): one register set
+    per event type — the per-domain/per-sink distinct-visitor counter at
+    bounded state (m longs per group, max-mergeable across workers and
+    batches like the reference's aggregated counters). The absent-bucket
+    correction is algebraic (each of the m - nonzero empty buckets adds
+    2^0 to the harmonic sum), so no dense per-group bucket frame is
+    built. Oracle replays registers and the corrected estimate per group
+    next to the exact distinct count."""
+    from shovel_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_cardinality_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_build_grouped(ev, "event_type", "user_id", b=6)
+    est = hll_cardinality_grouped(regs, "event_type", b=6).select(
+        "event_type", "nonzero", F.round("est", 4).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

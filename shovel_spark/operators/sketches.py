@@ -266,3 +266,49 @@ def bloom_filter(
         )
         pred = pred & hit
     return df.crossJoin(F.broadcast(bloom)).filter(pred).drop("bits", "__m_bits", "__k")
+
+
+def hll_build_grouped(
+    df: DataFrame, group_col: str, key_col: str, b: int = 6
+) -> DataFrame:
+    """(group, bucket, reg) — one HLL register set PER GROUP (the
+    per-domain / per-sink distinct-visitor counter shape): state is
+    m = 2^b longs per group however many rows feed it, merge across
+    workers/batches is max per (group, bucket). Same engine-neutral
+    hash/rho as hll_build."""
+    m = 1 << b
+    h = _hll_hash(F.col(key_col).cast("string"))
+    rest = F.shiftright(h, b)
+    rho = F.lit(HLL_BITS - b + 1)
+    for i in range(HLL_BITS - b - 1, -1, -1):
+        rho = F.when((rest.bitwiseAND(F.lit(1 << i))) != 0, F.lit(i + 1)).otherwise(rho)
+    return (
+        df.select(F.col(group_col), (h % m).alias("bucket"), rho.alias("__rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_cardinality_grouped(
+    registers: DataFrame, group_col: str, b: int = 6
+) -> DataFrame:
+    """(group, nonzero, est) per group from grouped registers; empty
+    buckets count as reg=0 via the nonzero count (sum over 2^-reg for
+    absent buckets contributes 1 each — algebra below — so no dense
+    bucket frame is needed per group)."""
+    m = 1 << b
+    agg = registers.groupBy(group_col).agg(
+        F.count("*").alias("__nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__s"),
+    )
+    # absent buckets have reg=0: each contributes 2^0 = 1 to the sum
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    full_sum = F.col("__s") + (F.lit(m) - F.col("__nz"))
+    raw = F.lit(alpha) * F.lit(float(m * m)) / full_sum
+    v = F.lit(m) - F.col("__nz")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col), F.col("__nz").alias("nonzero"), est.alias("est")
+    )

@@ -164,3 +164,30 @@ def test_bloom_filter_reads_stored_parameters(spark):
     probe = spark.range(200).select(F.col("id").cast("string").alias("k"))
     got = {r.k for r in bloom_filter(probe, bloom, "k").collect()}  # no params
     assert {str(i) for i in range(50)} <= got
+
+
+def test_hll_grouped_matches_ungrouped_per_group(spark):
+    """Grouped registers for one group == ungrouped registers over that
+    group's rows; the algebraic absent-bucket correction matches the
+    dense-frame estimate; per-group merge is max."""
+    from shovel_spark.operators.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_cardinality,
+        hll_cardinality_grouped,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % ((F.col("id") % 3) * 300 + 100)).cast("string")).alias("k"),
+    )
+    gre = {(r.g, r.bucket, r.reg) for r in hll_build_grouped(df, "g", "k", b=6).collect()}
+    for g in ("0", "1", "2"):
+        solo = {("%s" % g, r.bucket, r.reg)
+                for r in hll_build(df.filter(F.col("g") == g), "k", b=6).collect()}
+        assert solo == {t for t in gre if t[0] == g}
+    ge = {r.g: r.est for r in hll_cardinality_grouped(
+        hll_build_grouped(df, "g", "k", b=6), "g", b=6).collect()}
+    for g in ("0", "1", "2"):
+        solo_est = hll_cardinality(hll_build(df.filter(F.col("g") == g), "k", b=6), b=6).first().est
+        assert abs(ge[g] - solo_est) < 1e-9, (g, ge[g], solo_est)
