@@ -19,7 +19,22 @@ Layout
 - ledger.py             per-partition checkpoint ledger + resumable runner
 - pipeline.py           job config → compiled pipeline (the engine's "planner")
 - oracle.py             pure-Python oracle of shovel's route/ack taxonomy
+- observability.py      mid-run stage-progress recorder (live-metrics analog)
 - streaming/            Structured Streaming variant of the pipeline
+
+Training-data / LLM-curation tier (operators/):
+- dedup.py              exact, MinHash+LSH (one-shot / standing-index /
+                        incremental / streaming, hot-shingle capped), SimHash,
+                        n-gram Jaccard, spans, excision, clusters, resolution
+- similarity.py         cosine/LSH/IVF ANN (single + batched probes), k-means,
+                        SemDeDup semantic dedup
+- sketches.py           count-min + heavy hitters, HyperLogLog (+grouped),
+                        broadcast Bloom semi-filter
+- lm.py                 bigram-LM perplexity filter (train + score)
+- quality.py            n-gram commonness, TF-IDF terms
+- classify.py           hashed-BoW features + distributed logistic regression
+- sampling.py           hash/quota/stratified/temperature/weighted sampling,
+                        shard packing
 """
 
 __version__ = "0.1.0"
