@@ -237,3 +237,47 @@ def test_progress_monitor_records_stage_samples(spark, tmp_path):
     run_resumable(spark, pages, lm, dr, cfg, monitor=False)
     import os as _os
     assert not _os.path.exists(_os.path.join(out, "progress"))
+
+
+def test_resume_survives_default_static_overwrite_session(spark, tmp_path):
+    """The write_sinks/metrics_by_bucket dynamic-overwrite pins must hold
+    WITHOUT the session-level conf (Spark's default is static, under which
+    a resume's partitioned overwrite used to delete every already-done
+    bucket's output). Simulate the vanilla session by unsetting the conf."""
+    from shovel_spark.pipeline import JobConfig, metrics_from_ledger, run_resumable
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.unset(conf_key)
+    try:
+        assert spark.conf.get(conf_key).lower() == "static"
+        out = str(tmp_path / "vanilla_out")
+        pages = synth_pages(spark, 12_000, seed=31)
+        lm, dr = default_lang_map(spark), default_domain_rules(spark)
+        cfg = JobConfig(out_dir=out, n_buckets=8)
+        run_resumable(spark, pages, lm, dr, cfg, max_buckets=3)   # crash
+        run_resumable(spark, pages, lm, dr, cfg)                  # resume
+        m = metrics_from_ledger(spark, out).first()
+        assert m.in_rows == 12_000
+        assert m.acked + m.ignored + m.rejected == m.in_rows
+        # resumed sinks keep the crash-era buckets: no dup urls, full rows
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        total = 0
+        for d in _os.listdir(out):
+            if d.startswith("sink_"):
+                sdf = spark.read.parquet(_os.path.join(out, d))
+                assert sdf.count() == sdf.select("url").distinct().count(), d
+                total += sdf.count()
+        # ignored rows are dropped by routing, never written to a sink
+        assert total == 12_000 - m.ignored
+        # per-bucket metrics kept all 8 buckets, not just the resumed ones
+        mb = spark.read.parquet(_os.path.join(out, "metrics_by_bucket"))
+        assert mb.select("bucket").distinct().count() == 8
+        assert mb.agg(F.sum("n")).first()[0] == 12_000
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
