@@ -1322,11 +1322,11 @@ def events_bloom_signup_filter(spark, sf_dir):
     ),
     keyed AS (
       SELECT doc_id, tokens,
-             round(power(
+             round(ln(
                ((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                 & 4503599627370495) + 1) / 4503599627370497.0,
-               1.0 / tokens), 12) AS wkey
-      FROM w WHERE tokens > 0
+                 & 4503599627370495) + 1) / 4503599627370497.0
+             ) / tokens, 9) AS wkey
+      FROM w WHERE tokens > 0 AND doc_id IS NOT NULL
     )
     SELECT doc_id, tokens FROM keyed
     ORDER BY wkey DESC, doc_id ASC LIMIT 40
@@ -1336,9 +1336,10 @@ def docs_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES, operators/sampling.weighted_sample_k): token count as
     the weight — longer docs proportionally likelier — u drawn from the
-    shared md5 hash wire format, key = u^(1/w) rounded to 12 decimals
-    with id tie-break so both engines elect the IDENTICAL 40 rows. Plans
-    as per-partition TakeOrdered + driver merge: no corpus shuffle."""
+    shared md5 hash wire format, log-domain key ln(u)/w (same ordering as
+    u^(1/w), no small-weight underflow) rounded to 9 decimals with id
+    tie-break so both engines elect the IDENTICAL 40 rows. Plans as
+    per-partition TakeOrdered + driver merge: no corpus shuffle."""
     from shovel_spark.operators.sampling import weighted_sample_k
 
     d = (

@@ -683,15 +683,19 @@ def incremental_minhash_pairs(
         if max_doc_freq is not None:
             # record shingles that crossed the cap WITH this delta (their
             # exact corpus+delta totals) so the next delta sees them as hot
-            # even though neither side stores their per-doc rows anymore
+            # even though neither side stores their per-doc rows anymore.
+            # ONLY keys with no stored row (__hdf null) are appended: an
+            # already-stored hot key's total would otherwise re-add this
+            # delta's count on an at-least-once replay (its first append
+            # already included it) and MAX would surface the inflated
+            # value. Skipping stored keys keeps totals exact as "count when
+            # the key crossed the cap" — the monotone hotness decision
+            # (hdf alone > cap) is unaffected.
             (
-                hot_now.select(
+                hot_now.filter(F.col("__hdf").isNull())
+                .select(
                     "shk",
-                    (
-                        F.col("__ddf")
-                        + F.coalesce(F.col("__idf"), F.lit(0))
-                        + F.coalesce(F.col("__hdf"), F.lit(0))
-                    ).alias("df"),
+                    (F.col("__ddf") + F.coalesce(F.col("__idf"), F.lit(0))).alias("df"),
                 )
                 .coalesce(1)
                 .write.mode("append")

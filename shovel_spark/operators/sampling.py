@@ -319,11 +319,15 @@ def weighted_sample_k(
     draws where doubling a doc's quality score doubles its draw odds).
 
     Determinism details: u = (hash_52bits + 1) / (2^52 + 1) ∈ (0,1) — a
-    dyadic rational both engines represent exactly; the ranking key is
-    ROUNDED to 12 decimals with the id as tie-break, so an
-    oracle ordering by the same rounded key selects the identical set
-    even if pow() differs in the last ulp. Rows with weight <= 0 or NULL
-    never qualify (their key sorts below every positive-weight row).
+    dyadic rational both engines represent exactly; the ranking key is the
+    LOG-DOMAIN form ln(u)/w (same ordering as the textbook u^(1/w), but it
+    can't underflow to an equal-for-everyone 0 for small fractional
+    weights — quality scores < 1 are the normal case), ROUNDED to 9
+    decimals with the id as tie-break, so an oracle ordering by the same
+    rounded key selects the identical set even if ln() differs in the
+    last ulp. Rows with weight <= 0 / NULL weight / NULL id never
+    qualify (NULL ids would all hash alike and break the samplers'
+    partition-invariance contract, same rule as hash_sample).
 
     Scale: global top-k plans as per-partition TakeOrdered + driver merge
     (no shuffle of the corpus); grouped top-k is a WindowGroupLimit —
@@ -333,10 +337,10 @@ def weighted_sample_k(
         float((1 << 52) + 1)
     )
     w = F.col(weight_col).cast("double")
-    key = F.when(
-        w > 0, F.round(F.pow(u, F.lit(1.0) / w), 12)
-    ).otherwise(F.lit(-1.0))
-    ranked = df.withColumn("__wkey", key)
+    key = F.round(F.log(u) / w, 9)  # ln(u) < 0: larger (less negative) wins
+    ranked = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).withColumn("__wkey", key)
     if group_cols:
         from pyspark.sql import Window
 
@@ -345,12 +349,11 @@ def weighted_sample_k(
         )
         return (
             ranked.withColumn("__rn", F.row_number().over(win))
-            .filter((F.col("__rn") <= k) & (F.col("__wkey") > 0))
+            .filter(F.col("__rn") <= k)
             .drop("__rn", "__wkey")
         )
     return (
-        ranked.filter(F.col("__wkey") > 0)
-        .orderBy(F.desc("__wkey"), F.asc(id_col))
+        ranked.orderBy(F.desc("__wkey"), F.asc(id_col))
         .limit(k)
         .drop("__wkey")
     )

@@ -122,41 +122,56 @@ def _hll_hash(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
 
-def hll_build(
-    df: DataFrame, key_col: str, b: int = 6
-) -> DataFrame:
-    """(bucket, reg) HyperLogLog registers, m = 2^b rows max.
+def _hll_bucket_rho(key_col: str, b: int) -> tuple[Column, Column]:
+    """(bucket, rho) expressions shared by the plain and grouped builds —
+    ONE definition of the register bit-logic.
 
-    bucket = low b bits of the hash; reg = position of the lowest set bit
-    of the remaining 60-b bits (rho), computed with INTEGER comparisons
-    only — no float log2 — so any SQL engine reproduces the registers
-    bit-for-bit. All-zero remainder (hash a multiple of 2^60) pins reg at
-    its max, 60-b+1. One map-side-combinable groupBy: max per bucket."""
+    bucket = low b bits of the hash; rho = position of the lowest set bit
+    of the remaining 60-b bits, computed with INTEGER comparisons only —
+    no float log2 — so any SQL engine reproduces the registers
+    bit-for-bit. All-zero remainder (hash a multiple of 2^60) pins rho at
+    its max, 60-b+1. The shift is integer (shiftright), NOT division:
+    float division of a 60-bit value loses low bits past the 52-bit
+    mantissa — exactly the bits rho reads. The nested WHENs are built
+    high-bit-first so the innermost (last-applied) test — bit 0 — wins."""
     m = 1 << b
     h = _hll_hash(F.col(key_col).cast("string"))
-    # integer shift, NOT division: float division of a 60-bit value loses
-    # low bits past the 52-bit mantissa — exactly the bits rho reads
     rest = F.shiftright(h, b)
-    # rho = index of the lowest set bit + 1: nested integer WHENs built
-    # high-bit-first so the innermost (last-applied) test — bit 0 — wins
     rho = F.lit(HLL_BITS - b + 1)
     for i in range(HLL_BITS - b - 1, -1, -1):
         rho = F.when((rest.bitwiseAND(F.lit(1 << i))) != 0, F.lit(i + 1)).otherwise(rho)
+    return (h % m).alias("bucket"), rho.alias("__rho")
+
+
+def hll_build(
+    df: DataFrame, key_col: str, b: int = 6
+) -> DataFrame:
+    """(bucket, reg) HyperLogLog registers, m = 2^b rows max — one
+    map-side-combinable groupBy: max per bucket. NULL keys are excluded
+    (countDistinct ignores them too)."""
+    bucket, rho = _hll_bucket_rho(key_col, b)
     return (
-        df.select((h % m).alias("bucket"), rho.alias("__rho"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("__rho").alias("reg"))
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constants: fixed for the small register counts,
+    the asymptotic formula for m >= 128 — ONE definition for both the
+    plain and grouped estimators."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
 
 
 def hll_estimate_expr(m: int) -> Column:
     """Raw HLL estimate from (bucket, reg) rows aggregated over a frame
     that includes EMPTY buckets as reg=0: alpha_m * m^2 / sum(2^-reg).
     Use via hll_cardinality()."""
-    # standard HLL constants: fixed alpha for the small register counts,
-    # the asymptotic formula for m >= 128
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    return F.lit(alpha) * F.lit(float(m * m)) / F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+    return F.lit(_hll_alpha(m)) * F.lit(float(m * m)) / F.sum(
+        F.pow(F.lit(2.0), -F.col("reg"))
+    )
 
 
 def hll_cardinality(registers: DataFrame, b: int = 6, spark=None) -> DataFrame:
@@ -274,16 +289,14 @@ def hll_build_grouped(
     """(group, bucket, reg) — one HLL register set PER GROUP (the
     per-domain / per-sink distinct-visitor counter shape): state is
     m = 2^b longs per group however many rows feed it, merge across
-    workers/batches is max per (group, bucket). Same engine-neutral
-    hash/rho as hll_build."""
-    m = 1 << b
-    h = _hll_hash(F.col(key_col).cast("string"))
-    rest = F.shiftright(h, b)
-    rho = F.lit(HLL_BITS - b + 1)
-    for i in range(HLL_BITS - b - 1, -1, -1):
-        rho = F.when((rest.bitwiseAND(F.lit(1 << i))) != 0, F.lit(i + 1)).otherwise(rho)
+    workers/batches is max per (group, bucket). Bit-logic is the SAME
+    _hll_bucket_rho expressions as hll_build; NULL keys are excluded
+    (a NULL hash would otherwise emit a phantom NULL-bucket register
+    with max rho and inflate the group's estimate)."""
+    bucket, rho = _hll_bucket_rho(key_col, b)
     return (
-        df.select(F.col(group_col), (h % m).alias("bucket"), rho.alias("__rho"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col), bucket, rho)
         .groupBy(group_col, "bucket")
         .agg(F.max("__rho").alias("reg"))
     )
@@ -302,9 +315,8 @@ def hll_cardinality_grouped(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__s"),
     )
     # absent buckets have reg=0: each contributes 2^0 = 1 to the sum
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     full_sum = F.col("__s") + (F.lit(m) - F.col("__nz"))
-    raw = F.lit(alpha) * F.lit(float(m * m)) / full_sum
+    raw = F.lit(_hll_alpha(m)) * F.lit(float(m * m)) / full_sum
     v = F.lit(m) - F.col("__nz")
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)

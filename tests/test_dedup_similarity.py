@@ -882,3 +882,27 @@ def test_uncapped_rebuild_clears_stale_hot_df(spark, tmp_path):
     dedup.build_minhash_index(c2, idx, **kw)
     assert dedup._read_hot_df(spark, idx, "xxhash64").count() == 0
     assert dedup._read_index_cap(spark, idx) is None
+
+
+def test_hot_df_totals_replay_idempotent(spark, tmp_path):
+    """Regression (round-5 review): replaying update_index for the same
+    delta must not inflate the stored hot_df totals (only newly-hot keys
+    append; stored keys keep their crossing-time total)."""
+    B = "breaking news read all about it today"
+    kw = dict(k=3, num_hashes=16, bands=8, family="xxhash64")
+    corpus = spark.createDataFrame(
+        [(i, f"{B} unique{i} tail{i} words{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhreplay")
+    dedup.build_minhash_index(corpus, idx, max_doc_freq=3, **kw)
+    d1 = spark.createDataFrame(
+        [(10, f"{B} fresh10 tail10 words10")], "doc_id long, text string"
+    )
+    for _ in range(3):  # at-least-once replays
+        dedup.incremental_minhash_pairs(
+            spark, idx, d1, threshold=0.9, update_index=True, **kw
+        ).count()
+    hot = dedup._read_hot_df(spark, idx, "xxhash64")
+    # totals stay at the crossing-time value (3 corpus + 1 delta), not 4+1k
+    assert hot.agg(F.max("__hdf")).first()[0] == 4

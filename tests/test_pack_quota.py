@@ -282,3 +282,28 @@ def test_weighted_sample_k_properties(spark):
     out = weighted_sample_k(g, 5, "w", group_cols=["grp"])
     per = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert all(v == 5 for v in per.values()) and len(per) == 3
+
+
+def test_weighted_sample_small_fractional_weights(spark):
+    """Regression (round-5 review): quality-score weights < 1 must keep
+    positive inclusion probability — the old u^(1/w) key rounded to 0 for
+    ~quarter of rows at w=0.05. Log-domain key never underflows; NULL ids
+    are excluded like every other sampler."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, 0.05) for i in range(100)], "doc_id long, w double"
+    )
+    got = {r.doc_id for r in weighted_sample_k(df, 100, "w").collect()}
+    assert len(got) == 100  # every positive-weight row can be selected
+    sub = {r.doc_id for r in weighted_sample_k(df, 30, "w").collect()}
+    assert len(sub) == 30
+
+    with_null = df.unionByName(
+        spark.createDataFrame([(None, 5.0), (None, 5.0)], "doc_id long, w double")
+    )
+    a = {r.doc_id for r in weighted_sample_k(with_null, 50, "w").collect()}
+    b = {r.doc_id for r in weighted_sample_k(with_null.repartition(13), 50, "w").collect()}
+    assert a == b and None not in a

@@ -191,3 +191,26 @@ def test_hll_grouped_matches_ungrouped_per_group(spark):
     for g in ("0", "1", "2"):
         solo_est = hll_cardinality(hll_build(df.filter(F.col("g") == g), "k", b=6), b=6).first().est
         assert abs(ge[g] - solo_est) < 1e-9, (g, ge[g], solo_est)
+
+
+def test_hll_null_keys_excluded_grouped_and_plain(spark):
+    """Regression (round-5 review): NULL keys must not create a phantom
+    max-rho register (grouped estimate inflation); both builds drop them,
+    matching countDistinct semantics."""
+    from shovel_spark.operators.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_cardinality_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", f"u{i}") for i in range(20)] + [("g1", None)] * 50 + [("g2", None)] * 5,
+        "g string, k string",
+    )
+    regs = hll_build_grouped(df, "g", "k", b=6)
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    assert regs.filter(F.col("g") == "g2").count() == 0  # all-NULL group: no registers
+    est = {r.g: r.est for r in hll_cardinality_grouped(regs, "g", b=6).collect()}
+    assert abs(est["g1"] - 20) < 6
+    plain = hll_build(df.filter(F.col("g") == "g1"), "k", b=6)
+    assert plain.filter(F.col("bucket").isNull()).count() == 0
