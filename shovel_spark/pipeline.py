@@ -426,3 +426,88 @@ def run_history(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("started_at"))
     )
+
+
+def replay_dead_letters(
+    spark: SparkSession,
+    pages: DataFrame,
+    lang_map: DataFrame,
+    domain_rules: DataFrame,
+    cfg: JobConfig,
+) -> dict:
+    """Redeliver dead-lettered documents through a (presumably fixed)
+    pipeline config — the batch form of shovel's nack → requeue retry
+    (reference: src/inputs/amqp.js:101-112 requeues nacked deliveries;
+    src/outputs/elasticsearch.js:156-165 dead-letters per-doc failures).
+
+    A dead-letter row keeps WHY it failed but not the raw ``html`` (sinks
+    store extracted fields, never source bytes — the scale rule), so the
+    retry semi-joins the ORIGINAL pages table by url: only dead-lettered
+    docs are re-parsed/re-routed — O(dead letters), not O(corpus), and
+    the semi-join pushes into the pages scan.
+
+    Merge semantics: newly-successful rows APPEND to their sinks (they
+    were absent before, so no duplicates arise from a single replay;
+    uuid is the downstream dedupe key if a crashed replay is rerun —
+    at-least-once, like the broker it mirrors); the dead-letter sink is
+    REWRITTEN to the still-failing remainder. A second replay under the
+    same config retries the remainder, recovers nothing, appends
+    nothing — observable no-op.
+
+    Returns {retried, recovered, still_dead, per_sink}.
+    """
+    dl_path = os.path.join(cfg.out_dir, "sink_dead_letter")
+    dl_urls = spark.read.parquet(dl_path).select("url").distinct()
+    retry_pages = pages.join(dl_urls, "url", "left_semi")
+    routed = (
+        build_routed(retry_pages, lang_map, domain_rules, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        recovered = routed.filter(F.col("status") != "rejected")
+        still = routed.filter(F.col("status") == "rejected")
+        n_retried = routed.count()
+        n_still = still.count()
+        n_recovered = n_retried - n_still
+        # a retried row can also come back IGNORED (processed fine, routed
+        # nowhere — e.g. a formerly-denied domain whose lang now falls
+        # through): it leaves the dead-letter set without joining a sink
+        per_sink = {
+            r.sink: r.n
+            for r in recovered.filter(F.col("sink").isNotNull())
+            .groupBy("sink")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_ignored = recovered.filter(F.col("sink").isNull()).count()
+        for name in per_sink:
+            (
+                recovered.filter(F.col("sink") == name)
+                .select(*OUTPUT_COLS, "bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(os.path.join(cfg.out_dir, f"sink_{name}"))
+            )
+        # rewrite the remainder atomically: write to a sibling then swap
+        # (overwriting the path we are reading from would truncate the
+        # source mid-plan). An EMPTY remainder is written unpartitioned —
+        # an empty partitioned write leaves no data files and the table
+        # becomes schema-uninferable for every later reader.
+        tmp = dl_path + "__replay_tmp"
+        w = still.select(*OUTPUT_COLS, "bucket").write.mode("overwrite")
+        if n_still > 0:
+            w = w.option("partitionOverwriteMode", "static").partitionBy("bucket")
+        w.parquet(tmp)
+    finally:
+        routed.unpersist()
+    import shutil
+
+    shutil.rmtree(dl_path)
+    os.rename(tmp, dl_path)
+    return {
+        "retried": n_retried,
+        "recovered": n_recovered,
+        "ignored": n_ignored,
+        "still_dead": n_retried - n_recovered,
+        "per_sink": per_sink,
+    }

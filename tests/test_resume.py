@@ -281,3 +281,58 @@ def test_resume_survives_default_static_overwrite_session(spark, tmp_path):
     finally:
         if saved is not None:
             spark.conf.set(conf_key, saved)
+
+
+def test_replay_dead_letters_redelivers_fixed_config(spark, tmp_path):
+    """Dead-letter replay (shovel's nack -> requeue redelivery, batch
+    form): after relaxing the domain deny-list, previously rule-denied
+    docs recover into their sinks; parse failures stay dead. A second
+    replay under the same config is a no-op."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.pipeline import (
+        JobConfig,
+        replay_dead_letters,
+        run_resumable,
+    )
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    out = str(tmp_path / "replay_out")
+    pages = synth_pages(spark, 15_000, seed=41)
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    cfg = JobConfig(out_dir=out, n_buckets=8)
+    run_resumable(spark, pages, lm, dr, cfg)
+
+    dl0 = spark.read.parquet(f"{out}/sink_dead_letter")
+    n_dead0 = dl0.count()
+    n_rule_denied = dl0.filter(F.col("error").startswith("domain_rule:deny")).count()
+    assert n_dead0 > 0 and 0 < n_rule_denied < n_dead0
+    sink_counts0 = {}
+    import os as _os
+    for d in _os.listdir(out):
+        if d.startswith("sink_") and d != "sink_dead_letter":
+            sink_counts0[d] = spark.read.parquet(_os.path.join(out, d)).count()
+
+    # "fix" the config: allow everything previously denied
+    allow_all = dr.withColumn("action", F.lit("allow"))
+    res = replay_dead_letters(spark, pages, lm, allow_all, cfg)
+    assert res["retried"] == n_dead0
+    assert res["recovered"] == n_rule_denied
+    assert res["still_dead"] == n_dead0 - n_rule_denied
+    # some recovered rows route to IGNORED (processed fine, no sink)
+    assert sum(res["per_sink"].values()) + res["ignored"] == n_rule_denied
+
+    dl1 = spark.read.parquet(f"{out}/sink_dead_letter")
+    assert dl1.count() == n_dead0 - n_rule_denied
+    assert dl1.filter(F.col("error").startswith("domain_rule:deny")).count() == 0
+    gained = 0
+    for d, before in sink_counts0.items():
+        sdf = spark.read.parquet(_os.path.join(out, d))
+        assert sdf.count() == sdf.select("uuid").distinct().count(), d  # no dups
+        gained += sdf.count() - before
+    assert gained == sum(res["per_sink"].values())
+
+    # idempotent-by-outcome: same config again recovers nothing
+    res2 = replay_dead_letters(spark, pages, lm, allow_all, cfg)
+    assert res2["recovered"] == 0 and res2["retried"] == res["still_dead"]
+    assert spark.read.parquet(f"{out}/sink_dead_letter").count() == res["still_dead"]
