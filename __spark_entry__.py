@@ -40,6 +40,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_weighted_sample",
     "docs_dedup_suite",
     "events_hll_users_by_type",
+    "docs_excise_contamination",
     # last driver-attested r03 (stalest first window)
     "pipeline_metrics",
     "multimodal_image_features",
@@ -79,11 +80,10 @@ _DRIVER_PRIORITY: list[str] = [
     "rollup_priority_status",
     "salted_join_user_value",
     "salted_priority_counts",
-    "semi_join_segments",
-    # sessionize_30m / topk_parts_by_revenue / value_deciles /
-    # anti_join_nations / asof_prior_signup / broadcast_sink_counts /
-    # cube_priority_status / distinct_users_per_type rotate to round 6
-    # (window full at 50)
+    # semi_join_segments / sessionize_30m / topk_parts_by_revenue /
+    # value_deciles / anti_join_nations / asof_prior_signup /
+    # broadcast_sink_counts / cube_priority_status /
+    # distinct_users_per_type rotate to round 6 (window full at 50)
 ]
 
 

@@ -1633,6 +1633,83 @@ def events_hll_users_by_type(spark, sf_dir):
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+@_register(
+    "docs_excise_contamination",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
+    ),
+    bw AS (SELECT list_slice(w, 2, 9) AS b FROM w WHERE doc_id BETWEEN 5 AND 9),
+    bspans AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(b, i, i + 5), ' ')) AS h
+      FROM (SELECT b, unnest(range(1, greatest(len(b) - 5, 1) + 1)) AS i FROM bw)
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(w, i, i + 5), ' ')) AS h
+      FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 5, 1) + 1)) AS i
+            FROM w)
+    ),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS p
+      FROM occ JOIN bspans USING (h)
+    ),
+    tok AS (SELECT doc_id, generate_subscripts(w, 1) AS p, unnest(w) AS t FROM w),
+    kept AS (
+      SELECT k.doc_id, k.p, k.t FROM tok k
+      LEFT JOIN cut c ON k.doc_id = c.doc_id AND k.p = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS nt FROM kept GROUP BY 1)
+    SELECT count(*) AS n_docs,
+           CAST(sum(length(w.text)) AS BIGINT) AS chars_before,
+           CAST(sum(length(coalesce(r.nt, ''))) AS BIGINT) AS chars_after,
+           CAST(sum(CASE WHEN coalesce(r.nt, '') != w.text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed
+    FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+    """,
+)
+def docs_excise_contamination(spark, sf_dir):
+    """SPAN-level benchmark decontamination (dedup.excise_contaminated_
+    spans): eval 'questions' are 8-token substrings lifted from docs 5-9,
+    so those docs (and only those) contain contaminated 6-token windows —
+    which get CUT rather than killing the whole document (the surgical
+    alternative to contamination_overlap's drop). The oracle replays the
+    benchmark span set, the window probe, the merged cut ranges, and the
+    token-level rebuild; char sums pin the rewritten text exactly, and
+    the n_changed count pins that ONLY the quoting docs were touched."""
+    from shovel_spark.functions.textstats import tokens as _tok
+    from shovel_spark.operators.dedup import excise_contaminated_spans
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & (F.trim(F.col("text")) != "")
+        )
+        .withColumn("text", F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    bench = d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") <= 9)).select(
+        "doc_id",
+        F.array_join(F.slice(_tok(F.col("text")), 2, 8), " ").alias("text"),
+    )
+    clean = excise_contaminated_spans(
+        d, bench, span_tokens=6, family="md5", out_col="clean"
+    )
+    return clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_before"),
+        F.sum(F.length("clean")).alias("chars_after"),
+        F.sum(
+            F.when(F.col("clean") != F.col("text"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_changed"),
+    )
+
+
 #: boilerplate blocks for the capped-incremental contract: A is hot at
 #: build time (40 corpus docs > cap 30); B crosses the cap only WITH the
 #: delta (20 corpus + 20 delta docs = 40 > 30).

@@ -1017,21 +1017,7 @@ def excise_repeated_spans(
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
         .localCheckpoint(eager=False)  # feeds occurrences AND the rebuild
     )
-    n = F.size("__w")
-    occ = base.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - (span_tokens - 1), F.lit(1))),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    _shingle_key(
-                        F.array_join(F.slice("__w", i, span_tokens), " "), family
-                    ).alias("h"),
-                ),
-            )
-        ).alias("o"),
-    ).select("__id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+    occ = _span_occurrences(base, span_tokens, family)
     hot = (
         occ.groupBy("h")
         .agg(
@@ -1057,9 +1043,38 @@ def excise_repeated_spans(
     cut = removed.join(protected, ["__id", "p"], "left_anti").localCheckpoint(
         eager=False  # feeds the token anti-join AND the touched-doc semi-join
     )
+    return _apply_span_cuts(df, base, cut, text_col, id_col, out_col)
 
-    # rebuild ONLY docs that lose at least one token — everyone else keeps
-    # their original string byte-identical and never shuffles tokenized
+
+def _span_occurrences(base, span_tokens: int, family: str) -> DataFrame:
+    """(__id, pos, h) — every ``span_tokens``-token window (stride 1) of
+    the tokenized docs, position 1-based, span hashed (text never leaves
+    the map stage). Shared by repeated-span excision and span-level
+    decontamination."""
+    n = F.size("__w")
+    return base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (span_tokens - 1), F.lit(1))),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _shingle_key(
+                        F.array_join(F.slice("__w", i, span_tokens), " "), family
+                    ).alias("h"),
+                ),
+            )
+        ).alias("o"),
+    ).select("__id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+
+
+def _apply_span_cuts(
+    df: DataFrame, base, cut, text_col: str, id_col: str, out_col: str
+) -> DataFrame:
+    """Rebuild docs minus their cut token positions (``cut``: (__id, p),
+    1-based). Rebuilds ONLY touched docs — everyone else keeps their
+    original string byte-identical and never shuffles tokenized; a
+    fully-excised doc gets '' (empty, not NULL)."""
     touched = cut.select("__id").distinct()
     toks = (
         base.join(touched, "__id", "left_semi")
@@ -1079,13 +1094,10 @@ def excise_repeated_spans(
             ).alias("__new")
         )
     )
-    # every touched doc gets a rewrite row — a FULLY-excised doc (absent
-    # from `rebuilt`: zero surviving tokens) gets ''; untouched docs have
-    # no row at all and keep their original text byte-identical below
     rewrites = touched.join(rebuilt, "__id", "left").select(
         "__id", F.coalesce(F.col("__new"), F.lit("")).alias("__new")
     )
-    out = (
+    return (
         df.join(rewrites, df[id_col] == rewrites["__id"], "left")
         .withColumn(
             out_col,
@@ -1095,7 +1107,62 @@ def excise_repeated_spans(
         )
         .drop("__id", "__new")
     )
-    return out
+
+
+def excise_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    family: str = "xxhash64",
+    out_col: str | None = None,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: every ``span_tokens``-token
+    corpus window that also appears in the benchmark set is CUT from the
+    document (overlapping hits merge), instead of dropping the whole doc —
+    the surgical form of :func:`contamination_overlap`'s doc-level filter
+    (a 10k-token page shouldn't die for quoting one eval question, but
+    the quote itself must not reach training).
+
+    Same byte-identity contract as :func:`excise_repeated_spans`:
+    untouched docs keep their text byte-identical; rewritten docs rejoin
+    surviving tokens single-spaced; fully-contaminated docs become ''.
+
+    Scale shape: the benchmark side reduces to a DISTINCT hashed-span set
+    (eval suites are a few thousand docs — broadcast); the corpus side is
+    the same one-row-per-token-position explode as repeated_spans, probed
+    with a broadcast semi-join. Corpus text never shuffles; only (hash,
+    id, pos) rows move."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    out_col = out_col or text_col
+    base = (
+        corpus.filter(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & (F.trim(F.col(text_col)) != "")
+        )
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__w"))
+        .localCheckpoint(eager=False)  # feeds occurrences AND the rebuild
+    )
+    bench_base = benchmark.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.monotonically_increasing_id().alias("__id"), tokens(F.col(text_col)).alias("__w"))
+    bench_spans = _span_occurrences(bench_base, span_tokens, family).select("h").distinct()
+    occ = _span_occurrences(base, span_tokens, family)
+    hits = occ.join(F.broadcast(bench_spans), "h", "left_semi")
+    cut = (
+        hits.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return _apply_span_cuts(corpus, base, cut, text_col, id_col, out_col)
 
 
 def resolve_duplicates(

@@ -906,3 +906,33 @@ def test_hot_df_totals_replay_idempotent(spark, tmp_path):
     hot = dedup._read_hot_df(spark, idx, "xxhash64")
     # totals stay at the crossing-time value (3 corpus + 1 delta), not 4+1k
     assert hot.agg(F.max("__hdf")).first()[0] == 4
+
+
+def test_excise_contaminated_spans_policy(spark):
+    """Span-level decontamination: benchmark-overlapping windows are cut
+    (overlaps merged), untouched docs stay byte-identical (weird
+    whitespace preserved), fully-contaminated docs become ''. Partition-
+    invariant."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here what is the capital of france answer below maybe"),
+            (2, "clean  document   with odd spacing kept byte identical"),
+            (3, "what is the capital of france"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup.excise_contaminated_spans(
+        corpus, bench, span_tokens=6
+    ).collect()}
+    assert out[1] == "intro words here answer below maybe"
+    assert out[2] == "clean  document   with odd spacing kept byte identical"
+    assert out[3] == ""
+    assert out[4] is None
+    out2 = {r.doc_id: r.text for r in dedup.excise_contaminated_spans(
+        corpus.repartition(7), bench, span_tokens=6
+    ).collect()}
+    assert out2 == out
