@@ -1133,7 +1133,15 @@ def excise_contaminated_spans(
     (eval suites are a few thousand docs — broadcast); the corpus side is
     the same one-row-per-token-position explode as repeated_spans, probed
     with a broadcast semi-join. Corpus text never shuffles; only (hash,
-    id, pos) rows move."""
+    id, pos) rows move.
+
+    LIMITATION — fixed window length: text shorter than ``span_tokens``
+    on EITHER side only matches same-length truncations, so a 6-token
+    eval question quoted inside a long page is invisible to
+    span_tokens=8 (and a 6-token corpus doc inside a 9-token question
+    likewise). Size ``span_tokens`` at or below the shortest benchmark
+    item, and keep :func:`contamination_overlap` (k=3 shingles) as the
+    doc-level backstop for fragments below that."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     out_col = out_col or text_col

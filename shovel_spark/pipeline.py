@@ -428,6 +428,23 @@ def run_history(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+#: dead-letter sink schema (OUTPUT_COLS types + the bucket partition) —
+#: reads use it EXPLICITLY so an emptied table (all rows replayed) stays
+#: readable even though an empty partitioned write leaves no data files.
+DEAD_LETTER_SCHEMA = (
+    "uuid string, url string, warc_ts timestamp, domain string, "
+    "lang_norm string, text string, title string, status string, "
+    "sink string, error string, bucket int"
+)
+
+
+def read_dead_letters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The dead-letter table with its explicit schema (safe when empty)."""
+    return spark.read.schema(DEAD_LETTER_SCHEMA).parquet(
+        os.path.join(out_dir, "sink_dead_letter")
+    )
+
+
 def replay_dead_letters(
     spark: SparkSession,
     pages: DataFrame,
@@ -444,70 +461,135 @@ def replay_dead_letters(
     store extracted fields, never source bytes — the scale rule), so the
     retry semi-joins the ORIGINAL pages table by url: only dead-lettered
     docs are re-parsed/re-routed — O(dead letters), not O(corpus), and
-    the semi-join pushes into the pages scan.
+    the semi-join pushes into the pages scan. A url that appears several
+    times in ``pages`` (re-crawl) retries its LATEST snapshot only
+    (keep-latest upsert), so previously-delivered duplicates are never
+    re-appended. Dead letters whose url is ABSENT from ``pages`` are NOT
+    retried and stay in the dead-letter table (reported as
+    ``unmatched`` — replaying against a partial snapshot must not lose
+    them).
 
-    Merge semantics: newly-successful rows APPEND to their sinks (they
-    were absent before, so no duplicates arise from a single replay;
-    uuid is the downstream dedupe key if a crashed replay is rerun —
-    at-least-once, like the broker it mirrors); the dead-letter sink is
-    REWRITTEN to the still-failing remainder. A second replay under the
-    same config retries the remainder, recovers nothing, appends
-    nothing — observable no-op.
+    Merge semantics: newly-successful rows APPEND to their sinks via the
+    shared fan-out writer (absent before, so one replay adds no
+    duplicates; uuid is the downstream dedupe key if a crashed replay is
+    rerun — at-least-once, like the broker it mirrors); rows that now
+    route to IGNORED leave the set without joining a sink; the
+    still-failing remainder (plus unmatched rows) replaces the
+    dead-letter table via rename-swap (the canonical path never
+    disappears mid-crash). ``metrics_by_bucket`` — when present — is
+    updated for the affected buckets (retried docs move from
+    (dead_letter, rejected) to their new sink/status), keeping the
+    metrics tables consistent with actual sink contents. A second replay
+    under the same config retries the remainder, recovers nothing,
+    appends nothing — observable no-op.
 
-    Returns {retried, recovered, still_dead, per_sink}.
+    Returns {retried, recovered, ignored, still_dead, unmatched,
+    per_sink}.
     """
+    from shovel_spark.operators.merge import upsert_latest
+
     dl_path = os.path.join(cfg.out_dir, "sink_dead_letter")
-    dl_urls = spark.read.parquet(dl_path).select("url").distinct()
-    retry_pages = pages.join(dl_urls, "url", "left_semi")
-    routed = (
-        build_routed(retry_pages, lang_map, domain_rules, cfg)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    dl = read_dead_letters(spark, cfg.out_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        recovered = routed.filter(F.col("status") != "rejected")
-        still = routed.filter(F.col("status") == "rejected")
-        n_retried = routed.count()
-        n_still = still.count()
-        n_recovered = n_retried - n_still
-        # a retried row can also come back IGNORED (processed fine, routed
-        # nowhere — e.g. a formerly-denied domain whose lang now falls
-        # through): it leaves the dead-letter set without joining a sink
-        per_sink = {
-            r.sink: r.n
-            for r in recovered.filter(F.col("sink").isNotNull())
-            .groupBy("sink")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        n_ignored = recovered.filter(F.col("sink").isNull()).count()
-        for name in per_sink:
-            (
-                recovered.filter(F.col("sink") == name)
-                .select(*OUTPUT_COLS, "bucket")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(os.path.join(cfg.out_dir, f"sink_{name}"))
+        dl_urls = dl.select("url").where(F.col("url").isNotNull()).distinct()
+        matched = pages.join(dl_urls, "url", "left_semi")
+        # latest snapshot per url; ties broken by content hash (total order)
+        retry_pages = upsert_latest(
+            matched.limit(0), matched, key="url", ts_col="warc_ts",
+            tiebreak=F.xxhash64("html"),
+        )
+        # NULL-url rows never match anything and stay dead (left_anti keeps
+        # null-key rows), as do urls missing from this pages snapshot
+        unmatched = dl.join(
+            pages.select("url").distinct(), "url", "left_anti"
+        )
+        n_unmatched = unmatched.count()
+        routed = build_routed(retry_pages, lang_map, domain_rules, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            recovered = routed.filter(F.col("status") != "rejected")
+            still = routed.filter(F.col("status") == "rejected")
+            n_retried = routed.count()
+            n_still = still.count()
+            n_recovered = n_retried - n_still
+            per_sink = {
+                r.sink: r.n
+                for r in recovered.filter(F.col("sink").isNotNull())
+                .groupBy("sink")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_ignored = recovered.filter(F.col("sink").isNull()).count()
+            if per_sink:
+                # the shared fan-out writer: concurrent filtered appends
+                # against one cached frame (write_sinks semantics)
+                write_sinks(
+                    recovered.filter(F.col("sink").isNotNull()),
+                    cfg.out_dir,
+                    sorted(per_sink),
+                    partition_cols=["bucket"],
+                    mode="append",
+                    output_cols=OUTPUT_COLS,
+                )
+            # keep metrics_by_bucket consistent: retried docs leave
+            # (dead_letter, rejected) and re-enter at their new
+            # (sink, status); only affected bucket partitions rewrite
+            mb_path = os.path.join(cfg.out_dir, "metrics_by_bucket")
+            if os.path.isdir(mb_path):
+                affected = routed.select("bucket").distinct()
+                old = spark.read.parquet(mb_path).join(affected, "bucket", "left_semi")
+                minus = routed.groupBy("bucket").agg(
+                    (-F.count("*")).alias("n")
+                ).select(
+                    "bucket", F.lit("dead_letter").alias("sink"),
+                    F.lit("rejected").alias("status"), "n",
+                )
+                plus = routed.groupBy("bucket", "sink", "status").agg(
+                    F.count("*").alias("n")
+                )
+                updated = (
+                    old.unionByName(minus).unionByName(plus)
+                    .groupBy("bucket", "sink", "status")
+                    .agg(F.sum("n").alias("n"))
+                    .filter(F.col("n") > 0)
+                    .localCheckpoint()  # must not read mb_path while overwriting it
+                )
+                (
+                    updated.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(mb_path)
+                )
+            # rewrite the remainder (still-failing + unmatched) to a
+            # sibling, then swap via renames — the canonical path is never
+            # absent, even if we crash between the two renames
+            tmp = dl_path + "__replay_tmp"
+            remainder = still.select(*OUTPUT_COLS, "bucket").unionByName(
+                unmatched.select(*OUTPUT_COLS, "bucket")
             )
-        # rewrite the remainder atomically: write to a sibling then swap
-        # (overwriting the path we are reading from would truncate the
-        # source mid-plan). An EMPTY remainder is written unpartitioned —
-        # an empty partitioned write leaves no data files and the table
-        # becomes schema-uninferable for every later reader.
-        tmp = dl_path + "__replay_tmp"
-        w = still.select(*OUTPUT_COLS, "bucket").write.mode("overwrite")
-        if n_still > 0:
-            w = w.option("partitionOverwriteMode", "static").partitionBy("bucket")
-        w.parquet(tmp)
+            (
+                remainder.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+        finally:
+            routed.unpersist()
     finally:
-        routed.unpersist()
+        dl.unpersist()
     import shutil
 
-    shutil.rmtree(dl_path)
+    old_dir = dl_path + "__replay_old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(dl_path, old_dir)
     os.rename(tmp, dl_path)
+    shutil.rmtree(old_dir)
     return {
         "retried": n_retried,
         "recovered": n_recovered,
         "ignored": n_ignored,
         "still_dead": n_retried - n_recovered,
+        "unmatched": n_unmatched,
         "per_sink": per_sink,
     }

@@ -336,3 +336,64 @@ def test_replay_dead_letters_redelivers_fixed_config(spark, tmp_path):
     res2 = replay_dead_letters(spark, pages, lm, allow_all, cfg)
     assert res2["recovered"] == 0 and res2["retried"] == res["still_dead"]
     assert spark.read.parquet(f"{out}/sink_dead_letter").count() == res["still_dead"]
+
+
+def test_replay_preserves_unmatched_and_dedupes_recrawled_urls(spark, tmp_path):
+    """Round-5 review hardening: (a) dead letters whose url is absent
+    from the supplied pages snapshot are NOT lost — they stay dead and
+    are reported as unmatched; (b) a url that appears twice in pages
+    (re-crawl) retries its latest snapshot ONCE — previously-delivered
+    rows are not re-appended; (c) metrics_by_bucket is updated to match
+    the post-replay sink contents."""
+    from pyspark.sql import functions as F
+
+    from shovel_spark.pipeline import (
+        JobConfig,
+        read_dead_letters,
+        replay_dead_letters,
+        run_resumable,
+        sink_metrics_from_buckets,
+    )
+    from shovel_spark.synth import default_domain_rules, default_lang_map, synth_pages
+
+    out = str(tmp_path / "replay2_out")
+    pages = synth_pages(spark, 8_000, seed=57)
+    lm, dr = default_lang_map(spark), default_domain_rules(spark)
+    cfg = JobConfig(out_dir=out, n_buckets=8)
+    run_resumable(spark, pages, lm, dr, cfg)
+    n_dead0 = read_dead_letters(spark, out).count()
+    dead_urls = [r.url for r in read_dead_letters(spark, out).select("url").collect()]
+
+    # partial snapshot: drop half the dead urls from pages; duplicate the
+    # rest (re-crawl rows, 1s later — the retry must pick ONE per url)
+    keep = set(dead_urls[: len(dead_urls) // 2])
+    partial = pages.filter(
+        ~F.col("url").isin([u for u in dead_urls if u not in keep])
+    )
+    recrawl = partial.join(
+        spark.createDataFrame([(u,) for u in keep], "url string"), "url", "left_semi"
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 SECOND"))
+    snapshot = partial.unionByName(recrawl)
+
+    allow_all = dr.withColumn("action", F.lit("allow"))
+    res = replay_dead_letters(spark, snapshot, lm, allow_all, cfg)
+    assert res["unmatched"] == n_dead0 - len(keep)
+    assert res["retried"] == len(keep)  # one retry per url despite dup rows
+    dl = read_dead_letters(spark, out)
+    assert dl.count() == res["unmatched"] + res["still_dead"]
+    # no sink holds duplicate uuids after the replay
+    import os as _os
+    total_gained = 0
+    for d in _os.listdir(out):
+        if d.startswith("sink_") and d != "sink_dead_letter":
+            sdf = spark.read.parquet(_os.path.join(out, d))
+            assert sdf.count() == sdf.select("uuid").distinct().count(), d
+            total_gained += sdf.count()
+    # metrics_by_bucket agrees with the actual sink row counts
+    m = {r["sink"]: r["in_rows"] - r["ignored"] for r in
+         sink_metrics_from_buckets(spark, out).collect()}
+    for d in _os.listdir(out):
+        if d.startswith("sink_") and d != "sink_dead_letter":
+            name = d[len("sink_"):]
+            got = spark.read.parquet(_os.path.join(out, d)).count()
+            assert m.get(name, 0) == got, (name, m.get(name), got)
