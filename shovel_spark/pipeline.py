@@ -428,13 +428,16 @@ def run_history(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-#: dead-letter sink schema (OUTPUT_COLS types + the bucket partition) —
-#: reads use it EXPLICITLY so an emptied table (all rows replayed) stays
-#: readable even though an empty partitioned write leaves no data files.
+#: non-string sink column types (everything else in OUTPUT_COLS is string)
+_OUTPUT_COL_TYPES = {"warc_ts": "timestamp"}
+
+#: dead-letter sink schema — DERIVED from OUTPUT_COLS (+ the bucket
+#: partition) so the two can't drift apart. Reads use it EXPLICITLY so an
+#: emptied table (all rows replayed) stays readable even though an empty
+#: partitioned write leaves no data files.
 DEAD_LETTER_SCHEMA = (
-    "uuid string, url string, warc_ts timestamp, domain string, "
-    "lang_norm string, text string, title string, status string, "
-    "sink string, error string, bucket int"
+    ", ".join(f"{c} {_OUTPUT_COL_TYPES.get(c, 'string')}" for c in OUTPUT_COLS)
+    + ", bucket int"
 )
 
 
@@ -475,34 +478,56 @@ def replay_dead_letters(
     rerun — at-least-once, like the broker it mirrors); rows that now
     route to IGNORED leave the set without joining a sink; the
     still-failing remainder (plus unmatched rows) replaces the
-    dead-letter table via rename-swap (the canonical path never
-    disappears mid-crash). ``metrics_by_bucket`` — when present — is
-    updated for the affected buckets (retried docs move from
-    (dead_letter, rejected) to their new sink/status), keeping the
-    metrics tables consistent with actual sink contents. A second replay
-    under the same config retries the remainder, recovers nothing,
-    appends nothing — observable no-op.
+    dead-letter table via rename-swap, and a crash mid-swap self-heals on
+    the next invocation (the pre-swap copy at ``__replay_old`` is
+    restored, same recipe as compact_parquet). ``metrics_by_bucket`` —
+    when present — is updated for the affected buckets: every matched
+    dead-letter ROW leaves (dead_letter, rejected) and each retried URL
+    re-enters at its new sink/status, keeping the metrics consistent with
+    actual table contents; a would-be-negative count (evidence of a
+    replay that crashed between its metrics write and the swap) raises
+    instead of silently corrupting. A second replay under the same
+    config retries the remainder, recovers nothing, appends nothing —
+    observable no-op.
 
     Returns {retried, recovered, ignored, still_dead, unmatched,
-    per_sink}.
+    per_sink}. Units: retried/recovered/ignored/still_dead count RETRIED
+    URLS (one per url after the keep-latest dedupe); unmatched counts
+    dead-letter ROWS left untouched. A replay that empties the table
+    leaves a partitioned dir with no data files — read it via
+    :func:`read_dead_letters` (explicit schema), not bare
+    ``spark.read.parquet``.
     """
+    import shutil
+
     from shovel_spark.operators.merge import upsert_latest
 
     dl_path = os.path.join(cfg.out_dir, "sink_dead_letter")
+    old_dir = dl_path + "__replay_old"
+    tmp = dl_path + "__replay_tmp"
+    # self-heal a replay that crashed mid-swap (same recipe as
+    # compact_parquet): if the canonical path is gone, the pre-swap copy
+    # at __replay_old is authoritative — restore it and retry from scratch
+    if not os.path.exists(dl_path) and os.path.exists(old_dir):
+        os.rename(old_dir, dl_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     dl = read_dead_letters(spark, cfg.out_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         dl_urls = dl.select("url").where(F.col("url").isNotNull()).distinct()
         matched = pages.join(dl_urls, "url", "left_semi")
-        # latest snapshot per url; ties broken by content hash (total order)
+        # latest snapshot per url; ties broken by content hash (total
+        # order). Checkpointed: it feeds the routed chain AND the
+        # unmatched anti-join below.
         retry_pages = upsert_latest(
             matched.limit(0), matched, key="url", ts_col="warc_ts",
             tiebreak=F.xxhash64("html"),
-        )
+        ).localCheckpoint(eager=False)
         # NULL-url rows never match anything and stay dead (left_anti keeps
-        # null-key rows), as do urls missing from this pages snapshot
-        unmatched = dl.join(
-            pages.select("url").distinct(), "url", "left_anti"
-        )
+        # null-key rows), as do urls missing from this pages snapshot.
+        # Anti-join against the RETRY urls (O(dead letters)) — a
+        # pages-wide distinct would re-scan the whole corpus.
+        unmatched = dl.join(retry_pages.select("url"), "url", "left_anti")
         n_unmatched = unmatched.count()
         routed = build_routed(retry_pages, lang_map, domain_rules, cfg).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -537,9 +562,17 @@ def replay_dead_letters(
             # (sink, status); only affected bucket partitions rewrite
             mb_path = os.path.join(cfg.out_dir, "metrics_by_bucket")
             if os.path.isdir(mb_path):
-                affected = routed.select("bucket").distinct()
+                # rows LEAVING the table = every matched dl row (a url that
+                # was dead-lettered twice removes two rows even though it
+                # retries once) — subtract per (bucket), not per retry
+                removed_rows = dl.join(retry_pages.select("url"), "url", "left_semi")
+                affected = (
+                    routed.select("bucket")
+                    .unionByName(removed_rows.select("bucket"))
+                    .distinct()
+                )
                 old = spark.read.parquet(mb_path).join(affected, "bucket", "left_semi")
-                minus = routed.groupBy("bucket").agg(
+                minus = removed_rows.groupBy("bucket").agg(
                     (-F.count("*")).alias("n")
                 ).select(
                     "bucket", F.lit("dead_letter").alias("sink"),
@@ -552,19 +585,31 @@ def replay_dead_letters(
                     old.unionByName(minus).unionByName(plus)
                     .groupBy("bucket", "sink", "status")
                     .agg(F.sum("n").alias("n"))
-                    .filter(F.col("n") > 0)
                     .localCheckpoint()  # must not read mb_path while overwriting it
                 )
+                # a negative count means the subtraction ran against
+                # metrics that were ALREADY updated (a replay crashed
+                # after the metrics write but before the dead-letter
+                # swap) — surface it instead of silently dropping rows
+                if updated.filter(F.col("n") < 0).limit(1).count() > 0:
+                    raise RuntimeError(
+                        "metrics_by_bucket would go negative — a prior "
+                        "replay crashed between its metrics update and "
+                        "dead-letter swap; restore metrics_by_bucket from "
+                        "the sinks (sink_metrics_from_buckets inputs) "
+                        "before replaying again"
+                    )
                 (
-                    updated.write.mode("overwrite")
+                    updated.filter(F.col("n") > 0)
+                    .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("bucket")
                     .parquet(mb_path)
                 )
             # rewrite the remainder (still-failing + unmatched) to a
-            # sibling, then swap via renames — the canonical path is never
-            # absent, even if we crash between the two renames
-            tmp = dl_path + "__replay_tmp"
+            # sibling, then swap via renames; a crash between the renames
+            # leaves the pre-swap copy at __replay_old, which the next
+            # invocation's self-heal restores
             remainder = still.select(*OUTPUT_COLS, "bucket").unionByName(
                 unmatched.select(*OUTPUT_COLS, "bucket")
             )
@@ -578,9 +623,6 @@ def replay_dead_letters(
             routed.unpersist()
     finally:
         dl.unpersist()
-    import shutil
-
-    old_dir = dl_path + "__replay_old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(dl_path, old_dir)
     os.rename(tmp, dl_path)

@@ -363,6 +363,12 @@ def test_replay_preserves_unmatched_and_dedupes_recrawled_urls(spark, tmp_path):
     run_resumable(spark, pages, lm, dr, cfg)
     n_dead0 = read_dead_letters(spark, out).count()
     dead_urls = [r.url for r in read_dead_letters(spark, out).select("url").collect()]
+    import os as _os0
+    before_sink_rows = sum(
+        spark.read.parquet(_os0.path.join(out, d)).count()
+        for d in _os0.listdir(out)
+        if d.startswith("sink_") and d != "sink_dead_letter"
+    )
 
     # partial snapshot: drop half the dead urls from pages; duplicate the
     # rest (re-crawl rows, 1s later — the retry must pick ONE per url)
@@ -381,14 +387,16 @@ def test_replay_preserves_unmatched_and_dedupes_recrawled_urls(spark, tmp_path):
     assert res["retried"] == len(keep)  # one retry per url despite dup rows
     dl = read_dead_letters(spark, out)
     assert dl.count() == res["unmatched"] + res["still_dead"]
-    # no sink holds duplicate uuids after the replay
+    # no sink holds duplicate uuids after the replay, and the total rows
+    # appended across sinks equal the recovered-with-a-sink count
     import os as _os
-    total_gained = 0
+    total_after = 0
     for d in _os.listdir(out):
         if d.startswith("sink_") and d != "sink_dead_letter":
             sdf = spark.read.parquet(_os.path.join(out, d))
             assert sdf.count() == sdf.select("uuid").distinct().count(), d
-            total_gained += sdf.count()
+            total_after += sdf.count()
+    assert total_after == before_sink_rows + res["recovered"] - res["ignored"]
     # metrics_by_bucket agrees with the actual sink row counts
     m = {r["sink"]: r["in_rows"] - r["ignored"] for r in
          sink_metrics_from_buckets(spark, out).collect()}
