@@ -727,10 +727,22 @@ _PIPE_LANGS = ("en", "de", "fr", "es", "zh", "ja", "pt", "it")
 _PIPE_DENY = ("src0", "src13")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    ts: str = "2024-01-01 00:00:00",
+    fix_malformed: bool = False,
+) -> DataFrame:
     """Deterministically wrap the driver's documents as pages(url, warc_ts,
-    html, text, lang); doc_id % 37 == 0 rows get malformed html (no </p>)."""
-    d = _t(spark, sf_dir, "documents")
+    html, text, lang); doc_id % 37 == 0 rows get malformed html (no </p>).
+
+    ``docs`` substitutes a pre-filtered documents frame; ``ts`` stamps the
+    snapshot time and ``fix_malformed=True`` emits well-formed html for
+    every row — together they build a deterministic RE-CRAWL snapshot
+    (same urls, later warc_ts, parseable this time) for the dead-letter
+    replay query."""
+    d = docs if docs is not None else _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), F.col("doc_id"))
     ok_html = F.concat(
         F.lit("<html><head><title>doc</title></head><body><p>"), F.col("text"), F.lit("</p></body></html>")
@@ -738,10 +750,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_html = F.concat(
         F.lit("<html><head><title>doc</title></head><body><p>"), F.col("text"), F.lit("</body></html>")
     )
-    html = F.encode(F.when(F.col("doc_id") % 37 == 0, bad_html).otherwise(ok_html), "UTF-8")
+    broken = F.lit(False) if fix_malformed else (F.col("doc_id") % 37 == 0)
+    html = F.encode(F.when(broken, bad_html).otherwise(ok_html), "UTF-8")
     return d.select(
         url.alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.to_timestamp(F.lit(ts)).alias("warc_ts"),
         html.alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -803,6 +816,134 @@ def pipeline_metrics(spark, sf_dir):
     return routed.groupBy(
         F.coalesce(F.col("sink"), F.lit("none")).alias("sink"), F.col("status")
     ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "pipeline_replay_recovery",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             (doc_id % 37 = 0) AS malformed,
+             CASE WHEN lang IN {_PIPE_LANGS} THEN lang ELSE 'und' END AS lang_norm,
+             CASE WHEN source = 'src1' THEN 'priority' END AS rule_sink
+      FROM documents
+    ),
+    dead AS (  -- strict-run dead letters: parse failures + denied domains
+      SELECT * FROM t WHERE malformed OR source IN ('src0', 'src13', 'src2')
+    ),
+    unmatched AS (  -- src13 pages are absent from the replay snapshot
+      SELECT * FROM dead WHERE source = 'src13'
+    ),
+    retried AS (SELECT * FROM dead WHERE source != 'src13'),
+    r AS (  -- relaxed-config routing of the retried docs; keep-latest
+            -- picked the FIXED re-crawl snapshot for malformed urls, so
+            -- only the still-denied domain rejects
+      SELECT CASE WHEN source = 'src0' THEN 'rejected'
+                  WHEN rule_sink = 'priority' OR lang_norm != 'und' THEN 'acked'
+                  ELSE 'ignored' END AS status,
+             CASE WHEN source = 'src0' THEN NULL
+                  WHEN rule_sink = 'priority' THEN 'priority'
+                  WHEN lang_norm = 'en' THEN 'english'
+                  WHEN lang_norm IN ('zh', 'ja') THEN 'cjk'
+                  WHEN lang_norm IN ('de', 'fr', 'es', 'it', 'pt') THEN 'european'
+             END AS sink
+      FROM retried
+    )
+    SELECT 'recovered:' || sink AS metric, count(*) AS n
+    FROM r WHERE status = 'acked' GROUP BY 1
+    UNION ALL SELECT 'dead_letter_rows',
+      (SELECT count(*) FROM r WHERE status = 'rejected')
+        + (SELECT count(*) FROM unmatched)
+    UNION ALL SELECT 'ignored', count(*) FROM r WHERE status = 'ignored'
+    UNION ALL SELECT 'recovered_total', count(*) FROM r WHERE status != 'rejected'
+    UNION ALL SELECT 'retried', (SELECT count(*) FROM retried)
+    UNION ALL SELECT 'still_dead', count(*) FROM r WHERE status = 'rejected'
+    UNION ALL SELECT 'unmatched', (SELECT count(*) FROM unmatched)
+    """,
+)
+def pipeline_replay_recovery(spark, sf_dir):
+    """Dead-letter replay, VALUE-CHECKED end-to-end (pipeline.py
+    replay_dead_letters — the batch form of shovel's nack → requeue
+    redelivery, reference: src/inputs/amqp.js:101-112): a strict config
+    (extra denied domain src2) dead-letters parse failures + three
+    domains; the replay runs under the RELAXED config against a re-crawl
+    snapshot where (a) every malformed page has a later, parseable
+    snapshot — keep-latest retries only the newest version per url — and
+    (b) src13's pages are missing entirely, so its dead letters stay
+    UNMATCHED (never lost). The oracle replays the whole retry policy:
+    per-sink recovered counts, ignored (processed, no sink), still-dead
+    (src0, still denied), unmatched, and the post-replay dead-letter
+    table size read back from disk."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.route import SinkRule
+    from shovel_spark.pipeline import (
+        JobConfig,
+        read_dead_letters,
+        replay_dead_letters,
+        run_resumable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = pages_from_documents(spark, sf_dir)
+    lang_map = spark.createDataFrame(
+        [(l, l) for l in _PIPE_LANGS], "lang_raw string, lang_norm string"
+    )
+    deny_relaxed = list(_PIPE_DENY)
+    deny_strict = deny_relaxed + ["src2"]
+
+    def rules(deny):
+        return spark.createDataFrame(
+            [(f"{s}.example.com", "deny", None) for s in deny]
+            + [("src1.example.com", "allow", "priority")],
+            "domain string, action string, sink string",
+        )
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:replay".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/shovel_spark_replayq", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = JobConfig(
+        name="replay_demo",
+        out_dir=out_dir,
+        n_buckets=16,
+        sink_rules=[
+            SinkRule("priority", F.col("rule_sink") == "priority"),
+            SinkRule("english", F.col("lang_norm") == "en"),
+            SinkRule("cjk", F.col("lang_norm").isin("zh", "ja")),
+            SinkRule("european", F.col("lang_norm").isin("de", "fr", "es", "it", "pt")),
+        ],
+    )
+    try:
+        run_resumable(spark, v1, lang_map, rules(deny_strict), cfg)
+        # replay snapshot: src13 missing; malformed pages re-crawled fixed
+        docs_replay = d.filter(F.col("source") != "src13")
+        snapshot = pages_from_documents(spark, sf_dir, docs=docs_replay).unionByName(
+            pages_from_documents(
+                spark,
+                sf_dir,
+                docs=docs_replay.filter(F.col("doc_id") % 37 == 0),
+                ts="2024-01-02 00:00:00",
+                fix_malformed=True,
+            )
+        )
+        res = replay_dead_letters(spark, snapshot, lang_map, rules(deny_relaxed), cfg)
+        dl_rows = read_dead_letters(spark, cfg.out_dir).count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    rows = [(f"recovered:{s}", int(n)) for s, n in sorted(res["per_sink"].items())]
+    rows += [
+        ("dead_letter_rows", int(dl_rows)),
+        ("ignored", int(res["ignored"])),
+        ("recovered_total", int(res["recovered"])),
+        ("retried", int(res["retried"])),
+        ("still_dead", int(res["still_dead"])),
+        ("unmatched", int(res["unmatched"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, n long")
 
 
 # ---------------------------------------------------------------------------
@@ -1162,8 +1303,9 @@ def docs_bigram_lm_scores(spark, sf_dir):
       FROM probes JOIN cells USING (r, bucket)
       GROUP BY 1
     ),
-    tot AS (SELECT count(*) AS n FROM ev),
-    hot AS (SELECT user_id, est FROM est, tot WHERE est >= CAST(floor(n * 0.008) AS BIGINT)),
+    tot AS (SELECT sum(c) AS n FROM cells WHERE r = 0),
+    hot AS (SELECT user_id, est FROM est, tot
+            WHERE est >= greatest(1, CAST(floor(n * 0.008) AS BIGINT))),
     ex AS (
       SELECT e.user_id, count(*) AS exact
       FROM events e JOIN hot USING (user_id) GROUP BY 1
@@ -1177,7 +1319,8 @@ def events_heavy_hitters_cm(spark, sf_dir):
     width-256 sketch built in ONE map-side-combinable pass (bounded
     shuffle state regardless of key skew — the sketch IS the skew
     defense), estimates for every distinct key, shortlist at 0.8% of
-    traffic, exact recount of the shortlist only. md5-derived buckets
+    traffic (total derived from the sketch's row-0 cells — no separate
+    count scan), exact recount of the shortlist only. md5-derived buckets
     make the whole sketch engine-neutral: the oracle replays cells,
     min-estimates, the no-false-negative election, and the exact
     recount — est >= exact for every returned row by construction."""
@@ -2894,14 +3037,21 @@ def moving_avg_peak(spark, sf_dir):
     """,
 )
 def value_deciles(spark, sf_dir):
-    """ntile ranking window (global sort — fine for bounded outputs; at
-    10^12 rows use approx quantiles instead, see events_value_quantiles)."""
+    """Exact global deciles WITHOUT a single-partition window
+    (operators/windows.distributed_ntile): range-repartition on the sort
+    keys, per-partition row_number, per-partition counts → cumulative
+    offsets (driver state = #partitions rows), map-side ntile arithmetic.
+    Identical ntile(10) semantics to the oracle's global window — the
+    plan just survives 10^12 rows (see test_windows.py's plan assertion:
+    every WindowExec is partitioned)."""
+    from shovel_spark.operators.windows import distributed_ntile
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    return (
-        ev.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 3).alias("avg_value"))
+    tiled = distributed_ntile(
+        ev.select("value", "event_id"), 10, ["value", "event_id"], tile_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 3).alias("avg_value")
     )
 
 

@@ -519,7 +519,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    cc_iters: int = 3,
+    cc_iters: int | None = 3,
     sim_decimals: int = 6,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
@@ -542,6 +542,15 @@ def semantic_dedup(
     hyperplane bit (hyperplane_signature) before pairing — same defense
     as the minhash doc-frequency cap, applied to vector space. Embeddings
     shuffle once into their cell; components carry only ids.
+
+    ``cc_iters`` bounds min-label propagation: a FIXED count keeps the
+    trajectory deterministic for an external SQL oracle, but UNDER-MERGES
+    any dup component whose graph DIAMETER exceeds it (a chain
+    a~b~c~d~e at diameter 4 with cc_iters=3 splits into two components,
+    each electing its own keep=true row). For production runs pass
+    ``cc_iters=None`` — connected_components' run-to-convergence mode
+    (changed-label count per round, capped) — and keep the fixed count
+    only where an oracle must replay the exact trajectory.
     """
     from shovel_spark.operators.dedup import connected_components
 

@@ -97,12 +97,28 @@ def heavy_hitters(
 
     Two passes, both skew-proof: build the sketch (bounded shuffle), then
     estimate over distinct keys and keep the shortlist. The exact
-    recount touches only shortlisted keys (semi-join pushdown)."""
-    sketch = count_min_build(df, key_col, depth, width)
-    total = df.count()
-    threshold = int(total * min_frac)
+    recount touches only shortlisted keys (semi-join pushdown).
+
+    The TOTAL comes from the sketch itself — every input row increments
+    exactly one cell of hash row 0, so sum(row-0 cells) == count(*) —
+    not from a separate ``df.count()`` job, which at 100 TB would be a
+    second full scan. The sketch is localCheckpointed (depth*width rows)
+    so the total read and the estimate broadcast share one build. The
+    threshold floors at 1: ``int(total*min_frac)`` truncating to 0 would
+    shortlist EVERY distinct key and degenerate into the unbounded
+    hot-key groupBy the sketch exists to avoid."""
+    sketch = count_min_build(df, key_col, depth, width).localCheckpoint()
+    total = sketch.filter(F.col("row") == 0).agg(F.sum("c").alias("__total"))
+    threshold = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("__total") * F.lit(min_frac)).cast("long"),
+    )
     cands = cm_estimate(sketch, df.select(key_col).distinct(), key_col, depth, width)
-    hot = cands.filter(F.col("est") >= threshold)
+    hot = (
+        cands.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= threshold)
+        .drop("__total")
+    )
     exact = (
         df.join(F.broadcast(hot.select(key_col)), key_col, "left_semi")
         .groupBy(key_col)

@@ -157,6 +157,77 @@ def asof_join(
     )
 
 
+def _range_ranked(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Step 1 of distributed_ntile, exposed (uncheckpointed) so plan tests
+    can assert the window is PARTITIONED: range exchange on the sort keys,
+    then row_number within each range partition."""
+    num_partitions = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return part.withColumn("__rn", F.row_number().over(w))
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Global ``ntile(n_tiles)`` over ``order_cols`` WITHOUT the
+    single-partition global window (``Window.orderBy(...)`` with no
+    partitionBy moves every row to one task — fine at 10^5 rows, a
+    scale-killer at 10^12). Exact ntile semantics: with N rows, the first
+    ``N % n_tiles`` tiles hold ``N // n_tiles + 1`` rows, the rest
+    ``N // n_tiles``.
+
+    Distributed two-pass shape:
+      1. range-repartition on the sort keys (the same exchange a global
+         sort would do — but the per-partition work stays per-partition),
+         rank WITHIN each partition (``row_number`` over a partitioned
+         window), materialize once (localCheckpoint) so the counting pass
+         and the rank pass can't see different partitionings;
+      2. per-partition row counts → cumulative offsets — driver state is
+         ``num_partitions`` rows, never data-sized — broadcast back as a
+         when-chain, so global rank = local rank + partition offset and
+         the tile is pure map-side arithmetic.
+
+    ``order_cols`` must be a total order (include a unique id) or tile
+    assignment at duplicate keys is arbitrary, like ntile itself.
+    """
+    ranked = _range_ranked(df, order_cols, num_partitions).localCheckpoint()
+    sizes = {
+        r["__pid"]: r["c"]
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    n_total = sum(sizes.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):  # range partition i holds the i-th key range
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.lit(0).cast("long")
+    for pid, o in offsets.items():
+        off = F.when(F.col("__pid") == pid, F.lit(o).cast("long")).otherwise(off)
+    rk = F.col("__rn").cast("long") + off  # 1..N global rank
+    base, rem = divmod(n_total, n_tiles)
+    if base == 0:  # fewer rows than tiles: tile k = row k (ntile semantics)
+        tile = rk
+    else:
+        cut = rem * (base + 1)  # last rank served by the fat tiles
+        tile = F.when(
+            rk <= F.lit(cut), F.floor((rk - 1) / F.lit(base + 1)) + 1
+        ).otherwise(F.lit(rem) + F.floor((rk - F.lit(cut) - 1) / F.lit(base)) + 1)
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__pid", "__rn")
+
+
 def funnel_times(
     df: DataFrame,
     steps: list[str],

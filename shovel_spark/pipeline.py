@@ -486,7 +486,9 @@ def replay_dead_letters(
     re-enters at its new sink/status, keeping the metrics consistent with
     actual table contents; a would-be-negative count (evidence of a
     replay that crashed between its metrics write and the swap) raises
-    instead of silently corrupting. A second replay under the same
+    instead of silently corrupting — and the check runs BEFORE the sink
+    appends, so a detectably-inconsistent prior state aborts without
+    mutating any sink. A second replay under the same
     config retries the remainder, recovers nothing, appends nothing —
     observable no-op.
 
@@ -546,20 +548,16 @@ def replay_dead_letters(
                 .collect()
             }
             n_ignored = recovered.filter(F.col("sink").isNull()).count()
-            if per_sink:
-                # the shared fan-out writer: concurrent filtered appends
-                # against one cached frame (write_sinks semantics)
-                write_sinks(
-                    recovered.filter(F.col("sink").isNotNull()),
-                    cfg.out_dir,
-                    sorted(per_sink),
-                    partition_cols=["bucket"],
-                    mode="append",
-                    output_cols=OUTPUT_COLS,
-                )
             # keep metrics_by_bucket consistent: retried docs leave
             # (dead_letter, rejected) and re-enter at their new
-            # (sink, status); only affected bucket partitions rewrite
+            # (sink, status); only affected bucket partitions rewrite.
+            # COMPUTED (and consistency-checked) BEFORE any sink mutation:
+            # the would-go-negative guard below detects a prior replay
+            # that crashed between its metrics write and the dead-letter
+            # swap — that state must abort the run before this one
+            # appends anything, or a rerun re-appends the same recovered
+            # rows (duplicate uuids downstream).
+            updated = None
             mb_path = os.path.join(cfg.out_dir, "metrics_by_bucket")
             if os.path.isdir(mb_path):
                 # rows LEAVING the table = every matched dl row (a url that
@@ -599,6 +597,19 @@ def replay_dead_letters(
                         "the sinks (sink_metrics_from_buckets inputs) "
                         "before replaying again"
                     )
+            if per_sink:
+                # the shared fan-out writer: concurrent filtered appends
+                # against one cached frame (write_sinks semantics) — runs
+                # only after the guard above has vouched for the metrics
+                write_sinks(
+                    recovered.filter(F.col("sink").isNotNull()),
+                    cfg.out_dir,
+                    sorted(per_sink),
+                    partition_cols=["bucket"],
+                    mode="append",
+                    output_cols=OUTPUT_COLS,
+                )
+            if updated is not None:
                 (
                     updated.filter(F.col("n") > 0)
                     .write.mode("overwrite")

@@ -94,7 +94,7 @@ def test_decode_image_header_golden_pairs():
     assert decode_image_header(b"\x89PNG\r\n\x1a\n1234IHDRtrunc"[:20]) is None
     assert decode_image_header(b"\xff\xd8\xff") is None          # truncated JPEG
     assert decode_image_header(b"\xff\xd8\x00\x00garbage") is None  # lost sync
-    assert decode_image_header(b"GIF89a\x01")[0] if False else decode_image_header(b"GIF89a\x01") is None
+    assert decode_image_header(b"GIF89a\x01") is None  # truncated GIF
 
 
 def test_extract_image_features_real_headers(spark):

@@ -80,7 +80,8 @@ def test_no_cartesian_product_in_any_contract_query(spark):
     crossJoins against config-sized sides (a 4-row band table, a 1-row
     query vector, k centroids, a 50-row hard-negative query batch with a
     label-mismatch predicate, the bigram LM's 1-row vocabulary-size
-    aggregate) — the correct plan for those shapes."""
+    aggregate, the count-min sketch's 1-row derived total) — the correct
+    plan for those shapes."""
     import __spark_entry__ as e
 
     bnlj_ok = {
@@ -90,6 +91,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_hard_negatives",
         "docs_bigram_lm_scores",
         "emb_semantic_dedup",
+        "events_heavy_hitters_cm",
         "events_hll_users",
         "events_bloom_signup_filter",
         "docs_dedup_suite",

@@ -201,3 +201,45 @@ def test_funnel_times_greedy_order(spark):
     # duplicate step names get positional suffixes
     f2 = funnel_times(df, ["view", "click", "view"], ["user_id"])
     assert "t_view" in f2.columns and "t_view_1" in f2.columns
+
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    """Exact ntile parity against Spark's own global-window ntile for
+    sizes below, at, and not divisible by the tile count — including the
+    uneven-remainder split (first N%t tiles get the extra row)."""
+    from pyspark.sql import Window
+
+    for n in (7, 10, 23, 100, 101):
+        df = spark.range(n).select(
+            ((F.col("id") * 37) % 13).alias("v"), F.col("id").alias("uid")
+        )
+        want = {
+            (r.v, r.uid): r.t
+            for r in df.withColumn(
+                "t", F.ntile(10).over(Window.orderBy("v", "uid"))
+            ).collect()
+        }
+        got = {
+            (r.v, r.uid): r.tile
+            for r in windows.distributed_ntile(
+                df, 10, ["v", "uid"], num_partitions=4
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_distributed_ntile_no_global_window(spark):
+    """Every WindowExec in the ranking stage is PARTITIONED (by __pid) —
+    the whole point: no single-partition global sort. Asserted on the
+    pre-checkpoint plan (_range_ranked), where the window actually lives."""
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("v"), F.col("id").alias("uid")
+    )
+    ranked = windows._range_ranked(df, ["v", "uid"], 8)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert win_lines, plan  # the rank window must exist here
+    for line in win_lines:
+        assert "__pid" in line, f"unpartitioned window: {line}"
+    # and the exchange is a RANGE partitioning, not a single partition
+    assert "rangepartitioning" in plan.lower(), plan
