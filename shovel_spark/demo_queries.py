@@ -2945,6 +2945,67 @@ def multimodal_image_dims(spark, sf_dir):
     return extract_image_features(media).select("media_id", "fmt", "width", "height")
 
 
+@_register(
+    "multimodal_phash_dups",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 30 AS ck
+      FROM documents WHERE doc_id < 150
+    ),
+    h AS (
+      SELECT media_id, ck,
+             ('0x' || substr(md5('img:' || ck), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5('img:' || ck), 9, 8))::BIGINT AS lo
+      FROM m
+    ),
+    p AS (  -- signed int64 from two unsigned 32-bit halves (BIGINT-safe)
+      SELECT media_id, ck,
+             CASE WHEN hi >= 2147483648
+                  THEN (hi - 4294967296) * 4294967296 + lo
+                  ELSE hi * 4294967296 + lo END AS phash
+      FROM h
+    )
+    SELECT media_id, phash,
+           media_id = min(media_id) OVER (PARTITION BY ck) AS keep,
+           count(*) OVER (PARTITION BY ck) AS group_n
+    FROM p ORDER BY media_id
+    """,
+)
+def multimodal_phash_dups(spark, sf_dir):
+    """IMAGE near-dup via REAL pixel decode (io/png.py + io/multimodal.py):
+    150 full PNGs — 30 distinct pixel contents x 5 encoding variants
+    (scanline filter None/Sub/Up/Average/Paeth, varying zlib levels), so
+    every dup group is byte-DISTINCT and only decoding (IDAT inflate +
+    per-row unfilter) then average-hashing the pixels can group them.
+    Grouping is a phash equi-join: keep = lowest id per hash, group_n =
+    cluster size. The oracle recomputes each expected phash ARITHMETICALLY
+    from md5 of the content key (the synth pattern makes the 8x8
+    average-hash equal the md5 64-bit prefix — see
+    synth_png_block_images), so a hash match proves the whole decode →
+    unfilter → downsample → threshold chain bit-for-bit.
+
+    Scale shape: decode is map-only Arrow batches (binary never enters a
+    shuffle); the dup grouping shuffles 8-byte hashes, not pixels."""
+    from shovel_spark.io.multimodal import extract_image_features, synth_png_block_images
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id")
+    media = synth_png_block_images(ids, id_col="doc_id", groups=30)
+    feats = extract_image_features(media).select("media_id", "phash")
+    groups = feats.groupBy("phash").agg(
+        F.min("media_id").alias("__keep_id"), F.count("*").alias("group_n")
+    )
+    return (
+        feats.join(groups, "phash")
+        .select(
+            "media_id",
+            "phash",
+            (F.col("media_id") == F.col("__keep_id")).alias("keep"),
+            "group_n",
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Broadcast-mode routing, grouping sets, window frames, approximate aggs
 # ---------------------------------------------------------------------------

@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition sizing, Arrow batch shape,
-mapInPandas signature) is real and tested; the actual media decode is stubbed
-behind import-gates because the codec libraries are not in this sandbox —
-swap ``_decode_image_stub`` for PIL/ffmpeg in deployment, nothing else moves.
+mapInPandas signature) is real and tested. Decode depth by format:
+PNG header + FULL pixel decode are real (pure stdlib — io/png.py: zlib
+inflate + per-row unfilter), feeding a real 8x8 average-hash into the
+``phash`` feature; JPEG/GIF header parsing is real (decode_image_header)
+but their PIXEL decode needs a codec library not in this sandbox — those
+payloads keep the deterministic ``_decode_image_stub`` fallback (swap in
+PIL/ffmpeg in deployment, nothing else moves).
 
 Scale notes:
   - media bytes dominate row size → keep them OUT of shuffles: extract
@@ -125,6 +129,8 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        from shovel_spark.io.png import average_hash64, decode_png_pixels
+
         for pdf in batches:
             out = {"media_id": [], "fmt": [], "width": [], "height": [], "n_bytes": [], "byte_entropy": [], "phash": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
@@ -140,7 +146,17 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     counts[b] = counts.get(b, 0) + 1
                 n = min(len(raw), 4096)
                 ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else None
-                ph = int.from_bytes(raw[:8].ljust(8, b"\0"), "big", signed=True) if raw else None
+                # REAL perceptual hash when the payload fully decodes
+                # (PNG: stdlib zlib + unfilter, io/png.py); otherwise the
+                # byte-prefix placeholder keeps the column non-null for
+                # plumbing tests on arbitrary synthetic bytes
+                ph = None
+                if fmt == "png":
+                    px = decode_png_pixels(raw)
+                    if px is not None:
+                        ph = average_hash64(px[3], px[0], px[1], px[2])
+                if ph is None and raw:
+                    ph = int.from_bytes(raw[:8].ljust(8, b"\0"), "big", signed=True)
                 out["media_id"].append(mid)
                 out["fmt"].append(fmt)
                 out["width"].append(w)
@@ -312,6 +328,63 @@ def synth_image_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("fmt", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema)
+
+
+def synth_png_block_images(
+    df: DataFrame, id_col: str = "media_id", groups: int = 30
+) -> DataFrame:
+    """(media_id, ck, data): full REAL PNGs (IHDR + filtered/deflated IDAT
+    + IEND, io/png.encode_png) whose 64x64 grayscale pixels are an 8x8
+    block pattern driven by the CONTENT KEY ``ck = id % groups``: bit k
+    (MSB-first) of the first 8 bytes of md5('img:' || ck) sets block k to
+    255, else 0. The ENCODING varies by variant ``id // groups`` — scanline
+    filter (variant % 5: None/Sub/Up/Average/Paeth) and zlib level — so
+    ids sharing a ck have IDENTICAL pixels but DIFFERENT bytes: exact
+    (byte-hash) dedup cannot group them; only real pixel decode can.
+
+    By construction ``average_hash64(pixels) == int64(md5('img:'||ck)[:8])``
+    (each 8x8 block downsamples to exactly its 0/255 value; 255 > mean iff
+    the md5 prefix isn't all-ones, 0 > mean never) — so a SQL oracle
+    recomputes the expected phash arithmetically from md5 while the Spark
+    side must actually inflate, unfilter, and hash the bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from shovel_spark.io.png import encode_png
+
+        for pdf in batches:
+            out = {"media_id": [], "ck": [], "data": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                ck = mid % groups
+                bits = hashlib.md5(f"img:{ck}".encode()).digest()[:8]
+                px = bytearray(64 * 64)
+                for k in range(64):
+                    if bits[k // 8] & (1 << (7 - k % 8)):
+                        bi, bj = divmod(k, 8)
+                        for y in range(bi * 8, bi * 8 + 8):
+                            px[y * 64 + bj * 8 : y * 64 + bj * 8 + 8] = b"\xff" * 8
+                variant = mid // groups
+                data = encode_png(
+                    64, 64, bytes(px),
+                    color_type=0,
+                    filter_type=variant % 5,
+                    level=1 + (variant % 3) * 4,
+                )
+                out["media_id"].append(mid)
+                out["ck"].append(ck)
+                out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ck", T.LongType()),
             T.StructField("data", T.BinaryType()),
         ]
     )

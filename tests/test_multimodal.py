@@ -114,3 +114,104 @@ def test_extract_image_features_real_headers(spark):
     junk = spark.createDataFrame([(999, bytearray(b"not an image"))], "media_id long, data binary")
     (jr,) = extract_image_features(junk).collect()
     assert jr.fmt is None and jr.width == 64 + (ord("n") % 16) * 32
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png_pixels is the identity for every scanline
+    filter type, grayscale and RGB, across zlib levels — the unfilter path
+    (sub/up/average/paeth) must reconstruct exact bytes."""
+    import hashlib
+
+    from shovel_spark.io.png import decode_png_pixels, encode_png
+
+    w, h = 13, 9  # deliberately not multiples of anything
+    gray = bytes(
+        hashlib.sha256(b"px" + bytes([i])).digest()[0] for i in range(w * h)
+    )
+    rgb = bytes(
+        hashlib.sha256(b"rgb" + bytes([i % 251, i // 251])).digest()[0]
+        for i in range(w * h * 3)
+    )
+    for ftype in range(5):
+        for level, (ctype, px) in [
+            (1, (0, gray)), (6, (0, gray)), (9, (2, rgb)), (1, (2, rgb)),
+        ]:
+            data = encode_png(w, h, px, color_type=ctype, filter_type=ftype, level=level)
+            got = decode_png_pixels(data)
+            assert got is not None, (ftype, ctype)
+            gw, gh, gc, gpx = got
+            assert (gw, gh) == (w, h)
+            assert gpx == px, f"filter {ftype} color {ctype}"
+
+
+def test_png_golden_hand_computed():
+    """A hand-checkable 8x8: left half 0, right half 255. The average-hash
+    sets exactly the 4 right-column bits of every row: 0x0F0F0F0F0F0F0F0F."""
+    from shovel_spark.io.png import average_hash64, decode_png_pixels, encode_png
+
+    px = bytes(((255 if x >= 4 else 0) for y in range(8) for x in range(8)))
+    data = encode_png(8, 8, px, filter_type=4)
+    w, h, c, out = decode_png_pixels(data)
+    assert out == px
+    assert average_hash64(out, w, h, c) == 0x0F0F0F0F0F0F0F0F
+    # all-equal pixels: no cell exceeds the mean -> hash 0
+    flat = bytes(64)
+    assert average_hash64(flat, 8, 8, 1) == 0
+    # sub-8x8 images have no meaningful 8x8 downsample
+    assert average_hash64(bytes(49), 7, 7, 1) is None
+
+
+def test_png_decode_hostile_inputs():
+    """Truncated/corrupt/unsupported payloads return None, never raise."""
+    import struct
+    import zlib as _z
+
+    from shovel_spark.io.png import decode_png_pixels, encode_png
+
+    good = encode_png(8, 8, bytes(64))
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(b"") is None
+    assert decode_png_pixels(good[:30]) is None                  # truncated
+    corrupt = bytearray(good)
+    corrupt[-10] ^= 0xFF                                          # break IDAT body
+    assert decode_png_pixels(bytes(corrupt)) is None              # CRC mismatch
+    # palette color type (3) is out of scope -> None
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 3, 0, 0, 0)
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    assert decode_png_pixels(pal) is None
+    # header-only PNG from build_image_bytes (no IDAT) -> None
+    from shovel_spark.io.multimodal import build_image_bytes
+
+    assert decode_png_pixels(build_image_bytes("png", 16, 16)) is None
+
+
+def test_synth_png_variants_share_phash_across_encodings(spark):
+    """Same content key => same phash even though the BYTES differ (filter
+    strategy + zlib level vary by variant); different content keys =>
+    distinct phashes; and the phash equals the md5-derived int64 the SQL
+    oracle recomputes."""
+    import hashlib
+
+    from shovel_spark.io.multimodal import extract_image_features, synth_png_block_images
+    from pyspark.sql import functions as F
+
+    ids = spark.range(60).select(F.col("id").alias("media_id"))  # 30 cks x 2 variants
+    media = synth_png_block_images(ids, groups=30)
+    rows = media.select("media_id", "ck", F.md5("data").alias("bytes_md5")).collect()
+    by_ck = {}
+    for r in rows:
+        by_ck.setdefault(r.ck, set()).add(r.bytes_md5)
+    assert all(len(v) == 2 for v in by_ck.values()), "variants must differ in bytes"
+
+    feats = {r.media_id: r.phash for r in extract_image_features(media).collect()}
+    for mid, ph in feats.items():
+        ck = mid % 30
+        want = int.from_bytes(
+            hashlib.md5(f"img:{ck}".encode()).digest()[:8], "big", signed=True
+        )
+        assert ph == want, (mid, ck)
+    assert len({feats[m] for m in feats}) == 30  # 30 distinct contents
