@@ -2138,6 +2138,103 @@ def stream_neardup_two_batches(spark, sf_dir):
 
 
 @_register(
+    "stream_windowed_metrics",
+    """
+    WITH p AS (
+      SELECT doc_id, lang,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_days(CAST(doc_id % 5 AS INT))
+               + to_hours(CAST(doc_id % 7 AS INT)) AS ts
+      FROM documents
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(date_trunc('day', ts) + to_days(1), '%Y-%m-%d %H:%M:%S') AS win_end,
+           lang, count(*) AS n
+    FROM p GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_metrics(spark, sf_dir):
+    """STREAMING watermarked tumbling-window counts, VALUE-CHECKED
+    (streaming/pipeline.py windowed_metrics_stream +
+    run_windowed_metrics_once): pages with event times spread over five
+    days land as ONE file (one micro-batch — nothing is ever behind the
+    initial watermark, so no row drops), then two far-future sentinel
+    files each drive another availableNow cycle whose advancing watermark
+    FINALIZES the real windows into the append-mode parquet sink. The
+    oracle recomputes every 1-day window (epoch-aligned, as F.window
+    does) per lang in SQL; sentinel windows are excluded by a fixed
+    horizon in both engines. This is the reference's metrics stream with
+    event-time semantics shovel lacks (its `date` is arrival wall-clock;
+    reference: src/core/aggregated_metrics.js:100-132)."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.streaming.pipeline import run_windowed_metrics_once
+
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:swm".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp/shovel_spark_swm", tag)
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_dt_interval(
+        days=(F.col("doc_id") % 5).cast("int"),
+        hours=(F.col("doc_id") % 7).cast("int"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), F.col("doc_id")
+        ).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+    def sentinel(ts_str: str, name: str) -> None:
+        spark.range(1).select(
+            F.lit(f"https://sentinel.example.com/{name}").alias("url"),
+            F.to_timestamp(F.lit(ts_str)).alias("warc_ts"),
+            F.encode(F.lit("<p>x</p>"), "UTF-8").alias("html"),
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    try:
+        pages.coalesce(1).write.mode("overwrite").parquet(inp)
+        run_windowed_metrics_once(spark, inp, out, ckpt)
+        # each sentinel advances the watermark past ALL real event time,
+        # finalizing the pending windows on the next cycle's batch
+        sentinel("2034-01-01 00:00:00", "s1")
+        run_windowed_metrics_once(spark, inp, out, ckpt)
+        sentinel("2044-01-01 00:00:00", "s2")
+        run_windowed_metrics_once(spark, inp, out, ckpt)
+        res = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, lang string, n long"
+            )
+            .parquet(os.path.join(out, "windowed_metrics"))
+            .filter(F.col("window_start") < F.lit("2030-01-01"))
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+                "lang",
+                "n",
+            )
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
     "docs_repeated_spans",
     r"""
     WITH w AS (
