@@ -19,71 +19,76 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from shovel_spark.demo_queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
 
 # The driver's DuckDB oracle checks the FIRST 50 entries of ``queries()`` in
-# iteration order. Rotation policy (round 5): (1) the round-4 driver-red
-# query, now fixed (partitionOverwriteMode pinned per-write), re-attests
-# first; (2) brand-new round-5 queries; (3) the 47 queries whose last
-# attestation is r03 — every registered query re-attests on a ~2-round
-# cadence. The full set is ALSO swept by scripts/check_correctness.py in
-# CI (scripts/run_checks.sh), so the driver window is a sampling
+# iteration order. Rotation policy (round 6): (1) the nine queries that
+# rotated out of the r5 window (last driver attestation r03) go FIRST;
+# (2) brand-new round-6 queries; (3) events_heavy_hitters_cm re-attests
+# because its oracle changed this round (sketch-derived total,
+# greatest(1, ...) threshold); (4) the stalest r04-attested queries fill
+# the window (alphabetical; the 15 that don't fit are listed at the end
+# for round 7). The full set is ALSO swept by scripts/check_correctness.py
+# in CI (scripts/run_checks.sh), so the driver window is a sampling
 # optimization, not the only gate.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 FAIL, fixed in round 5 — must re-attest
-    "stream_neardup_two_batches",
-    # new in round 5
-    "docs_incremental_neardup_capped",
-    "multimodal_image_dims",
-    "docs_bigram_lm_scores",
-    "emb_semantic_dedup",
+    # rotated out of the r5 window (last attested r03) — first priority
+    "semi_join_segments",
+    "sessionize_30m",
+    "topk_parts_by_revenue",
+    "value_deciles",  # also re-implemented this round (distributed ntile)
+    "anti_join_nations",
+    "asof_prior_signup",
+    "broadcast_sink_counts",
+    "cube_priority_status",
+    "distinct_users_per_type",
+    # new in round 6
+    "pipeline_replay_recovery",
+    "stream_windowed_metrics",
+    "multimodal_phash_dups",
+    "multimodal_audio_meta",
+    "docs_paragraph_dedup",
+    "docs_gopher_rules",
+    # oracle changed in round 6 — must re-attest
     "events_heavy_hitters_cm",
-    "events_hll_users",
-    "events_bloom_signup_filter",
-    "docs_weighted_sample",
-    "docs_dedup_suite",
-    "events_hll_users_by_type",
-    "docs_excise_contamination",
-    # last driver-attested r03 (stalest first window)
-    "pipeline_metrics",
-    "multimodal_image_features",
-    "docs_minhash_near_dups",
-    "docs_exact_dedup_keep",
-    "docs_fingerprints",
-    "docs_lang_guess",
-    "docs_langid_confusion",
-    "docs_minhash_bands",
-    "docs_quality_score",
-    "docs_quality_stats",
-    "docs_simhash_near_dups",
-    "docs_token_stats",
-    "docs_top_similar_pairs",
-    "docs_unique_per_lang",
-    "emb_centroid_norms",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_lsh_near_dups",
-    "emb_lsh_topk",
-    "emb_lsh_topk_multi",
-    "enrich_translate",
-    "events_value_quantiles",
-    "except_users",
-    "hourly_event_counts",
-    "latest_event_per_user",
-    "moving_avg_peak",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_late_ship_priority",
-    "q5_local_supplier_volume",
-    "range_join_error_purchases",
-    "region_revenue",
-    "render_index_name",
-    "rollup_priority_status",
-    "salted_join_user_value",
-    "salted_priority_counts",
-    # semi_join_segments / sessionize_30m / topk_parts_by_revenue /
-    # value_deciles / anti_join_nations / asof_prior_signup /
-    # broadcast_sink_counts / cube_priority_status /
-    # distinct_users_per_type rotate to round 6 (window full at 50)
+    # last driver-attested r04 (alphabetical, first 34 of 49)
+    "cohort_retention_d1_d7",
+    "docs_benchmark_contamination",
+    "docs_canonical_urls",
+    "docs_chunk_udtf",
+    "docs_clean_corpus",
+    "docs_crawl_refresh",
+    "docs_dup_clusters",
+    "docs_excise_spans",
+    "docs_hash_sample",
+    "docs_hash_split",
+    "docs_incremental_neardup",
+    "docs_lang_rebalance",
+    "docs_logreg_weights",
+    "docs_minhash_capped_pairs",
+    "docs_ngram_commonness",
+    "docs_pack_shards",
+    "docs_pagerank_mass",
+    "docs_quota_sample",
+    "docs_redact_pii",
+    "docs_repeated_spans",
+    "docs_repetition_stats",
+    "docs_resolve_best_quality",
+    "docs_subword_tokens",
+    "docs_tfidf_terms",
+    "docs_training_corpus",
+    "emb_hard_negatives",
+    "emb_ivf_topk_batch",
+    "emb_kmeans_cells",
+    "emb_lsh_topk_batch",
+    "events_resample_dense",
+    "events_value_histogram",
+    "events_zorder_stats",
+    "funnel_view_click_purchase",
+    "grok_log_roundtrip",
+    # r04-attested spill to round 7 (window full at 50):
+    # msgpack_roundtrip, orders_above_avg, pages_snapshot_diff,
+    # pages_snapshot_upsert, parse_json_props, parse_variant_props,
+    # pivot_event_values, proto_delimited_roundtrip, proto_roundtrip,
+    # route_sink_counts, route_status_counts, user_zscore_extremes,
+    # user_zscore_extremes_native, value_median_udaf, xml_roundtrip
 ]
 
 

@@ -3103,6 +3103,150 @@ def multimodal_phash_dups(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_audio_meta",
+    """
+    SELECT doc_id AS media_id,
+           'wav' AS fmt,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+           CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS n_frames,
+           (1000 + (doc_id % 7) * 500) * 1000
+             // (8000 + (doc_id % 5) * 4000) AS dur_ms
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """REAL audio-container decode round-trip (io/multimodal.py
+    decode_wav_header): spec-correct PCM WAV bytes are BUILT in one pandas
+    UDF (synth_wav_media — channels/rate/bits/frames pure functions of the
+    id) and PARSED back by the RIFF chunk walk (fmt + data chunks,
+    word-alignment padding). The oracle recomputes the expected metadata
+    arithmetically, so a hash match proves the parser read the actual
+    bytes — the audio sibling of multimodal_image_dims. Duration filters
+    (dur_ms) run without decoding a single sample."""
+    from shovel_spark.io.multimodal import extract_audio_features, synth_wav_media
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+    media = synth_wav_media(ids, id_col="doc_id")
+    return extract_audio_features(media).select(
+        "media_id", "fmt", "channels", "sample_rate", "bits", "n_frames", "dur_ms"
+    )
+
+
+_PD_BOILER = (
+    "subscribe to our newsletter for daily updates and follow us on social "
+    "media platforms for the latest breaking news coverage"
+)  # exactly 20 words = exactly 2 paragraphs of 10
+
+
+@_register(
+    "docs_paragraph_dedup",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 100000, '{_PD_BOILER}' || ' ' || text
+      FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+    ),
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus),
+    p AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(
+               list_slice(w, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)), ' '
+             ) AS para
+      FROM (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+            FROM w WHERE len(w) > 0)
+    ),
+    k AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+      FROM p
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept, string_agg(para, ' ' ORDER BY idx) AS t
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(ceil(len(w.w) / 10.0) AS BIGINT) AS n_paras,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           md5(coalesce(reb.t, '')) AS text_md5
+    FROM w LEFT JOIN reb USING (doc_id)
+    """,
+)
+def docs_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup with reassembly (operators/dedup.py
+    paragraph_dedup — the RefinedWeb line-dedup granularity): 200 docs
+    plus 20 variants carrying a shared 20-word boilerplate prefix (2
+    paragraphs) followed by a byte-identical copy of their original's
+    body. The global first-occurrence policy keeps the boilerplate in
+    exactly ONE document and strips the variants to (at most) nothing —
+    every surviving doc's REBUILT TEXT is value-checked via md5, not just
+    counted, so the reassembly order and byte content replay exactly."""
+    from shovel_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    variants = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat_ws(" ", F.lit(_PD_BOILER), F.col("text")))
+    )
+    out = paragraph_dedup(d.unionByName(variants), para_words=10)
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text").alias("text_md5")
+    )
+
+
+@_register(
+    "docs_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(w) AS n,
+             greatest(len(w), 1) AS nz,
+             length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+             len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_sym,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(regexp_extract_all(text,
+                 '(?i)\b(the|be|to|of|and|that|have|with)\b')) AS n_stop,
+             1.0 - len(list_distinct(w)) / greatest(len(w), 1) AS dupfrac
+      FROM t
+    )
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS wc_ok,
+           chars / nz >= 3.0 AND chars / nz <= 10.0 AS mwl_ok,
+           n_sym / nz <= 0.1 AS sym_ok,
+           n_alpha / nz >= 0.80 AS alpha_ok,
+           n_stop >= 2 AS stop_ok,
+           dupfrac <= 0.30 AS rep_ok,
+           (n >= 50 AND n <= 100000) AND (chars / nz >= 3.0 AND chars / nz <= 10.0)
+             AND (n_sym / nz <= 0.1) AND (n_alpha / nz >= 0.80)
+             AND (n_stop >= 2) AND (dupfrac <= 0.30) AS gopher_pass
+    FROM s
+    """,
+)
+def docs_gopher_rules(spark, sf_dir):
+    """Per-rule Gopher quality flags (operators/quality.py gopher_flags,
+    Rae et al. 2021 appendix A1.1): word-count band, mean-word-length
+    band, symbol ratio, alphabetic-word fraction, stopword floor,
+    repetition ceiling — each an independent boolean so the pipeline can
+    report per-rule removal rates (the audit surface C4/Gopher papers
+    publish), plus the AND gate. Map-only Column math over one
+    tokenization; the oracle recomputes every rule from the same
+    whitespace tokens."""
+    from shovel_spark.operators.quality import gopher_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_flags(d).select(
+        "doc_id", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok", "rep_ok",
+        "gopher_pass",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Broadcast-mode routing, grouping sets, window frames, approximate aggs
 # ---------------------------------------------------------------------------

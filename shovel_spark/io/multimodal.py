@@ -262,6 +262,155 @@ def read_media_dir(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),  # 'wav' | None
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("dur_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def decode_wav_header(data: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL (channels, sample_rate, bits, n_frames, dur_ms) from a RIFF/WAVE
+    container — pure byte parsing (chunk walk with word-alignment padding,
+    PCM 'fmt ' + 'data' chunks), the audio sibling of decode_image_header.
+    Covers the duration/sample-rate/channel filters an audio-curation
+    pipeline runs WITHOUT decoding samples. None for non-WAV, compressed
+    (non-PCM), or truncated payloads — never raises."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    n = len(data)
+    channels = sample_rate = bits = block_align = None
+    data_size = None
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if size < 16 or len(body) < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:  # PCM only; compressed needs a codec lib
+                return None
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if None in (channels, sample_rate, bits, block_align, data_size):
+        return None
+    if not channels or not sample_rate or not block_align:
+        return None
+    n_frames = data_size // block_align
+    dur_ms = n_frames * 1000 // sample_rate
+    return (channels, sample_rate, bits, n_frames, dur_ms)
+
+
+def build_wav_bytes(
+    channels: int, sample_rate: int, bits: int, n_frames: int
+) -> bytes:
+    """A REAL, spec-correct PCM WAV: RIFF header, 16-byte fmt chunk, data
+    chunk with a deterministic md5-derived payload of exactly
+    ``n_frames * block_align`` bytes. Used by the synthetic generator so
+    decode_wav_header (and any external tool) reads back the declared
+    parameters from actual container bytes."""
+    import hashlib
+
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    seed = hashlib.md5(
+        f"wav:{channels}:{sample_rate}:{bits}:{n_frames}".encode()
+    ).digest()
+    payload = (seed * (data_size // len(seed) + 1))[:data_size]
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + data_size.to_bytes(4, "little") + payload
+        + (b"\0" if data_size & 1 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio metadata extraction — same plumbing contract as
+    extract_image_features: iterator of Arrow batches, binary never
+    leaves the map stage, unrecognized payloads yield NULL fields (rows
+    are never dropped silently)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                hdr = decode_wav_header(raw)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(raw))
+                if hdr is None:
+                    out["fmt"].append(None)
+                    for k in ("channels", "sample_rate", "bits", "n_frames", "dur_ms"):
+                        out[k].append(None)
+                else:
+                    ch, sr, bits, nf, dur = hdr
+                    out["fmt"].append("wav")
+                    out["channels"].append(ch)
+                    out["sample_rate"].append(sr)
+                    out["bits"].append(bits)
+                    out["n_frames"].append(nf)
+                    out["dur_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, data): real PCM WAV containers whose parameters are a
+    pure function of the id — channels 1+(id%2), sample_rate
+    8000+(id%5)*4000, bits 8 or 16 (id%3==0), n_frames 1000+(id%7)*500 —
+    so a SQL oracle recomputes the expected metadata arithmetically while
+    the Spark side must PARSE it back out of the RIFF bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "data": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                out["media_id"].append(mid)
+                out["data"].append(
+                    build_wav_bytes(
+                        channels=1 + mid % 2,
+                        sample_rate=8000 + (mid % 5) * 4000,
+                        bits=8 if mid % 3 == 0 else 16,
+                        n_frames=1000 + (mid % 7) * 500,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(gen, schema)
+
+
 def build_image_bytes(fmt: str, width: int, height: int, pad: bytes = b"") -> bytes:
     """A minimal REAL container header for ``fmt`` declaring the given
     dimensions, plus ``pad`` payload bytes — spec-correct where it counts

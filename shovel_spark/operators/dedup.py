@@ -33,6 +33,82 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 10,
+) -> DataFrame:
+    """Paragraph-level exact dedup WITH document reassembly — the
+    RefinedWeb / Gopher line-dedup granularity between whole-document
+    exact dedup and span excision: a boilerplate paragraph shared by a
+    million pages survives in exactly ONE document and is cut from every
+    other, while the rest of each document stays intact and in order.
+    Paragraphs here are consecutive ``para_words``-word windows (the
+    synthetic corpus has no newline structure; swap the splitter for
+    ``split(text, '\\n\\n')`` on real pages — nothing else changes).
+
+    Policy: the GLOBAL first occurrence (lowest (id, idx)) of each
+    distinct paragraph is kept; every later occurrence — across documents
+    or repeated within one — is dropped. Returns one row per input doc:
+    (id, n_paras, n_kept, text) where ``text`` is the surviving
+    paragraphs rejoined in original order ('' when everything was cut).
+
+    Scale shape: the election shuffles (16-byte md5, id, idx) — never
+    paragraph text; it's one map-side-combinable min-struct groupBy on
+    the hash, then an equi-join back and a per-doc sort_array reassembly
+    (bounded by a single document's paragraph count). No windows over
+    content keys, no driver state.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    n = F.size("__w")
+    n_paras = F.when(n > 0, F.ceil(n / F.lit(para_words))).otherwise(F.lit(0)).cast("long")
+    with_counts = base.withColumn("__np", n_paras)
+    paras = (
+        with_counts.filter(F.col("__np") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("__np") - 1).cast("int")),
+                    lambda i: F.array_join(
+                        F.slice("__w", i * para_words + 1, para_words), " "
+                    ),
+                )
+            ).alias("idx", "__para"),
+        )
+        .withColumn("__h", F.md5("__para"))
+    )
+    firsts = paras.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("idx").alias("fidx"))).alias("__w1")
+    )
+    kept = (
+        paras.join(firsts, "__h")
+        .filter((F.col(id_col) == F.col("__w1.fid")) & (F.col("idx") == F.col("__w1.fidx")))
+        .select(id_col, "idx", "__para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "__para"))),
+                lambda s: s["__para"],
+            ),
+            " ",
+        ).alias("__text"),
+    )
+    return (
+        with_counts.select(id_col, F.col("__np").alias("n_paras"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        )
+    )
+
+
 # --- shingles (shared by MinHash / Jaccard) ---------------------------------
 
 def shingle_table(

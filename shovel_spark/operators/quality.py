@@ -134,3 +134,60 @@ def tfidf_terms(
         .filter(F.col("__rn") <= top_k)
         .drop("__rn")
     )
+
+
+#: Fixed stopword list for the Gopher "contains >= 2 stopwords" rule
+#: (Rae et al. 2021 use a similar small English function-word set).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule Gopher quality flags (Rae et al. 2021, appendix A1.1 —
+    the public rule set behind MassiveText; also the template for
+    RefinedWeb/Dolma filtering): each rule is an INDEPENDENT boolean
+    column so the pipeline can report per-rule removal rates and audit
+    WHICH rule rejected a document, instead of one opaque score
+    (textstats.quality_score is the blended-score sibling).
+
+      - wc_ok:    50 <= word count <= 100,000
+      - mwl_ok:   3 <= mean word length <= 10
+      - sym_ok:   symbol-to-word ratio (#, ellipsis) <= 0.1
+      - alpha_ok: >= 80% of words contain an alphabetic character
+      - stop_ok:  >= 2 hits from an 8-word stopword list
+      - rep_ok:   duplicate-word fraction <= 0.30 (repetition signal)
+      - gopher_pass: AND of all six
+
+    All JVM Column expressions over ONE tokenization — map-only, no
+    shuffle, fully replayable in SQL (the oracle recomputes every rule).
+    Adds the six flags + gopher_pass to the input columns.
+    """
+    from shovel_spark.functions.textstats import (
+        duplicate_word_fraction,
+        stopword_hits,
+        tokens as _tok,
+    )
+
+    out = df.withColumn("__toks", _tok(F.col(text_col)))
+    n = F.size("__toks")
+    nz = F.greatest(n, F.lit(1))
+    # sum of word lengths == chars excluding whitespace (exact, no loop)
+    char_sum = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    mwl = char_sum / nz
+    n_sym = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.)"), F.lit(1)))
+    )
+    n_alpha_words = F.size(F.filter("__toks", lambda w: w.rlike("[A-Za-z]")))
+    flags = {
+        "wc_ok": (n >= 50) & (n <= 100_000),
+        "mwl_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        "sym_ok": (n_sym / nz) <= 0.1,
+        "alpha_ok": (n_alpha_words / nz) >= 0.80,
+        "stop_ok": stopword_hits(F.col(text_col), GOPHER_STOPWORDS) >= 2,
+        "rep_ok": duplicate_word_fraction(F.col("__toks")) <= 0.30,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    gate = F.lit(True)
+    for name in flags:
+        gate = gate & F.col(name)
+    return out.withColumn("gopher_pass", gate).drop("__toks")

@@ -936,3 +936,26 @@ def test_excise_contaminated_spans_policy(spark):
         corpus.repartition(7), bench, span_tokens=6
     ).collect()}
     assert out2 == out
+
+
+def test_paragraph_dedup_policy_and_reassembly(spark):
+    """Global first-occurrence keeps a shared paragraph in ONE doc; later
+    docs (and later repeats WITHIN a doc) lose it; surviving paragraphs
+    rejoin in original order; fully-deduped docs come back as ''."""
+    from shovel_spark.operators.dedup import paragraph_dedup
+
+    p1 = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10"   # one 10-word para
+    tail1 = "t1 t2"
+    tail2 = "u1 u2 u3"
+    rows = [
+        (1, f"{p1} {tail1}"),            # first occurrence of p1 + own tail
+        (2, f"{p1} {tail2}"),            # loses p1, keeps tail
+        (3, f"{p1} {p1}"),               # within-doc repeat: all dropped
+        (4, tail2),                      # dup of doc2's tail para -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert (got[1].n_paras, got[1].n_kept, got[1].text) == (2, 2, f"{p1} {tail1}")
+    assert (got[2].n_paras, got[2].n_kept, got[2].text) == (2, 1, tail2)
+    assert (got[3].n_paras, got[3].n_kept, got[3].text) == (2, 0, "")
+    assert (got[4].n_paras, got[4].n_kept, got[4].text) == (1, 0, "")

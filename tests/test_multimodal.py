@@ -215,3 +215,27 @@ def test_synth_png_variants_share_phash_across_encodings(spark):
         )
         assert ph == want, (mid, ck)
     assert len({feats[m] for m in feats}) == 30  # 30 distinct contents
+
+
+def test_wav_header_golden_and_hostile():
+    """RIFF/WAVE parser: spec-built containers decode to their declared
+    parameters (including odd-size word-alignment padding); truncated /
+    compressed / alien payloads return None."""
+    from shovel_spark.io.multimodal import build_wav_bytes, decode_wav_header
+
+    assert decode_wav_header(build_wav_bytes(2, 44100, 16, 44100)) == (
+        2, 44100, 16, 44100, 1000,
+    )
+    # odd data size (1ch x 8bit x odd frames) exercises the pad-byte path
+    b = build_wav_bytes(1, 8000, 8, 1001)
+    assert decode_wav_header(b) == (1, 8000, 8, 1001, 125)
+    assert len(b) % 2 == 0  # word-aligned container
+    assert decode_wav_header(b"") is None
+    assert decode_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    assert decode_wav_header(b[:30]) is None                       # truncated
+    # non-PCM format code -> None (compressed audio needs a codec lib)
+    nonpcm = bytearray(build_wav_bytes(1, 8000, 16, 100))
+    nonpcm[20] = 3  # IEEE float format tag
+    assert decode_wav_header(bytes(nonpcm)) is None
+    # alien bytes
+    assert decode_wav_header(b"GIF89a not audio at all padding") is None

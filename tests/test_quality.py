@@ -138,3 +138,27 @@ def test_bigram_lm_ranks_shuffled_text_below_natural(spark):
     )
     s = {r.doc_id: r.avg_logprob for r in score_bigram_logprob(probe, uni, bi).collect()}
     assert s[100] > s[101]
+
+
+def test_gopher_flags_each_rule(spark):
+    """Each Gopher rule trips independently on a constructed offender."""
+    from shovel_spark.operators.quality import gopher_flags
+
+    good = "the quick brown fox and the lazy dog went to of that have with " + \
+        " ".join(f"word{i:03d}" for i in range(40))
+    rows = [
+        (0, good),                                      # passes everything
+        (1, "the of and " + " ".join(f"w{i}" for i in range(10))),  # too short
+        (2, "the of " + " ".join("ab" for _ in range(60))),          # mwl < 3, repetitious
+        (3, good + " " + " ".join("#" for _ in range(20))),          # symbol ratio
+        (4, " ".join(f"word{i:03d}" for i in range(60))),            # no stopwords
+        (5, "the of and that " + " ".join("same" for _ in range(56))),  # repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_flags(df).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].wc_ok and not got[1].gopher_pass
+    assert not got[2].mwl_ok and not got[2].rep_ok
+    assert not got[3].sym_ok
+    assert not got[4].stop_ok
+    assert not got[5].rep_ok and got[5].stop_ok
