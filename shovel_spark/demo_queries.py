@@ -3217,15 +3217,15 @@ def docs_paragraph_dedup(spark, sf_dir):
       FROM t
     )
     SELECT doc_id,
-           n >= 50 AND n <= 100000 AS wc_ok,
+           n >= 30 AND n <= 100000 AS wc_ok,
            chars / nz >= 3.0 AND chars / nz <= 10.0 AS mwl_ok,
            n_sym / nz <= 0.1 AS sym_ok,
            n_alpha / nz >= 0.80 AS alpha_ok,
            n_stop >= 2 AS stop_ok,
-           dupfrac <= 0.30 AS rep_ok,
-           (n >= 50 AND n <= 100000) AND (chars / nz >= 3.0 AND chars / nz <= 10.0)
+           dupfrac <= 0.5 AS rep_ok,
+           (n >= 30 AND n <= 100000) AND (chars / nz >= 3.0 AND chars / nz <= 10.0)
              AND (n_sym / nz <= 0.1) AND (n_alpha / nz >= 0.80)
-             AND (n_stop >= 2) AND (dupfrac <= 0.30) AS gopher_pass
+             AND (n_stop >= 2) AND (dupfrac <= 0.5) AS gopher_pass
     FROM s
     """,
 )
@@ -3237,11 +3237,15 @@ def docs_gopher_rules(spark, sf_dir):
     report per-rule removal rates (the audit surface C4/Gopher papers
     publish), plus the AND gate. Map-only Column math over one
     tokenization; the oracle recomputes every rule from the same
-    whitespace tokens."""
+    whitespace tokens. The two corpus-tunable knobs (word-count floor,
+    repetition ceiling) are set for the synthetic tables' tiny
+    vocabulary (30 words, dup<=0.5) so every varying rule actually
+    gates documents here — with the web-text defaults the AND gate
+    would be constant-false on this corpus (see gopher_flags)."""
     from shovel_spark.operators.quality import gopher_flags
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return gopher_flags(d).select(
+    return gopher_flags(d, min_words=30, max_dup_frac=0.5).select(
         "doc_id", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok", "rep_ok",
         "gopher_pass",
     )

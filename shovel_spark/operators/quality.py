@@ -141,7 +141,13 @@ def tfidf_terms(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_frac: float = 0.30,
+) -> DataFrame:
     """Per-rule Gopher quality flags (Rae et al. 2021, appendix A1.1 —
     the public rule set behind MassiveText; also the template for
     RefinedWeb/Dolma filtering): each rule is an INDEPENDENT boolean
@@ -149,17 +155,24 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     WHICH rule rejected a document, instead of one opaque score
     (textstats.quality_score is the blended-score sibling).
 
-      - wc_ok:    50 <= word count <= 100,000
+      - wc_ok:    min_words <= word count <= max_words (Gopher: 50..100k)
       - mwl_ok:   3 <= mean word length <= 10
       - sym_ok:   symbol-to-word ratio (#, ellipsis) <= 0.1
       - alpha_ok: >= 80% of words contain an alphabetic character
       - stop_ok:  >= 2 hits from an 8-word stopword list
-      - rep_ok:   duplicate-word fraction <= 0.30 (repetition signal)
+      - rep_ok:   duplicate-word fraction <= max_dup_frac (Gopher: 0.30)
       - gopher_pass: AND of all six
 
     All JVM Column expressions over ONE tokenization — map-only, no
     shuffle, fully replayable in SQL (the oracle recomputes every rule).
     Adds the six flags + gopher_pass to the input columns.
+
+    The word-count band and the repetition ceiling are parameterized
+    (defaults = the published Gopher values) because they are the two
+    knobs real pipelines re-tune per corpus: a tiny-vocabulary corpus
+    (like the synthetic test tables here) pushes duplicate-word fractions
+    far above Gopher's web-text 0.30, which would turn the AND gate into
+    a constant. Tune the knob, never the rule definitions.
     """
     from shovel_spark.functions.textstats import (
         duplicate_word_fraction,
@@ -178,12 +191,12 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_alpha_words = F.size(F.filter("__toks", lambda w: w.rlike("[A-Za-z]")))
     flags = {
-        "wc_ok": (n >= 50) & (n <= 100_000),
+        "wc_ok": (n >= min_words) & (n <= max_words),
         "mwl_ok": (mwl >= 3.0) & (mwl <= 10.0),
         "sym_ok": (n_sym / nz) <= 0.1,
         "alpha_ok": (n_alpha_words / nz) >= 0.80,
         "stop_ok": stopword_hits(F.col(text_col), GOPHER_STOPWORDS) >= 2,
-        "rep_ok": duplicate_word_fraction(F.col("__toks")) <= 0.30,
+        "rep_ok": duplicate_word_fraction(F.col("__toks")) <= max_dup_frac,
     }
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
