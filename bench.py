@@ -316,17 +316,22 @@ def main_default() -> None:
 
     from shovel_spark.demo_queries import SPARK_QUERIES
 
+    # ambient load captured WITH each timing (not later, when the box may
+    # be under entirely different load) so the triage record attributes
+    # the right load to the cold-position run
+    query_loads: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        query_loads[name] = round(os.getloadavg()[0], 1)
 
     # cross-round triage list: queries a prior round flagged as possibly
     # regressed get 3 extra recorded reruns (warm times + ambient load)
     # so the next judge can separate code from load without a new session
     triage: dict[str, list[dict]] = {}
     for name in ("docs_clean_corpus",):
-        runs = [{"sec": timings[name], "load": round(os.getloadavg()[0], 1)}]
+        runs = [{"sec": timings[name], "load": query_loads[name]}]
         for _ in range(3):
             t0 = time.time()
             SPARK_QUERIES[name](spark, sf_dir).collect()

@@ -3082,25 +3082,30 @@ def multimodal_phash_dups(spark, sf_dir):
     unfilter → downsample → threshold chain bit-for-bit.
 
     Scale shape: decode is map-only Arrow batches (binary never enters a
-    shuffle); the dup grouping shuffles 8-byte hashes, not pixels."""
+    shuffle); the dup grouping shuffles 8-byte hashes, not pixels — and it
+    is a WINDOW partitioned by phash over the decoded features, not a
+    self-join, so the expensive mapInPandas decode stage executes exactly
+    ONCE per image (a join of feats against an aggregate of feats would
+    recompute the whole decode for each side). Undecodable payloads carry
+    NULL phash and are kept unconditionally as singletons — never
+    deduplicated against each other."""
     from shovel_spark.io.multimodal import extract_image_features, synth_png_block_images
 
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id")
     media = synth_png_block_images(ids, id_col="doc_id", groups=30)
     feats = extract_image_features(media).select("media_id", "phash")
-    groups = feats.groupBy("phash").agg(
-        F.min("media_id").alias("__keep_id"), F.count("*").alias("group_n")
-    )
-    return (
-        feats.join(groups, "phash")
-        .select(
-            "media_id",
-            "phash",
-            (F.col("media_id") == F.col("__keep_id")).alias("keep"),
-            "group_n",
-        )
-        .orderBy("media_id")
-    )
+    w = Window.partitionBy("phash")
+    return feats.select(
+        "media_id",
+        "phash",
+        F.when(F.col("phash").isNull(), F.lit(True))
+        .otherwise(F.col("media_id") == F.min("media_id").over(w))
+        .alias("keep"),
+        F.when(F.col("phash").isNull(), F.lit(1))
+        .otherwise(F.count("*").over(w))
+        .cast("long")
+        .alias("group_n"),
+    ).orderBy("media_id")
 
 
 @_register(

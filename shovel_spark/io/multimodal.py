@@ -147,16 +147,18 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 n = min(len(raw), 4096)
                 ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else None
                 # REAL perceptual hash when the payload fully decodes
-                # (PNG: stdlib zlib + unfilter, io/png.py); otherwise the
-                # byte-prefix placeholder keeps the column non-null for
-                # plumbing tests on arbitrary synthetic bytes
+                # (PNG: stdlib zlib + unfilter, io/png.py); anything that
+                # does NOT decode to pixels gets NULL. A byte-prefix
+                # fallback here would be a near-constant (every PNG shares
+                # the 8-byte signature, every JFIF JPEG the same prefix),
+                # so phash-equality dedup would silently collapse unrelated
+                # undecodable images into one cluster. NULL lets dedup skip
+                # them explicitly instead.
                 ph = None
                 if fmt == "png":
                     px = decode_png_pixels(raw)
                     if px is not None:
                         ph = average_hash64(px[3], px[0], px[1], px[2])
-                if ph is None and raw:
-                    ph = int.from_bytes(raw[:8].ljust(8, b"\0"), "big", signed=True)
                 out["media_id"].append(mid)
                 out["fmt"].append(fmt)
                 out["width"].append(w)
@@ -292,6 +294,12 @@ def decode_wav_header(data: bytes) -> tuple[int, int, int, int, int] | None:
     while pos + 8 <= n:
         tag = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > n:
+            # Chunk declares more bytes than the payload holds (truncated
+            # file): reject rather than trust the declared size — a
+            # duration/frame count computed from it would overstate what
+            # is actually present (the docstring's "truncated → None").
+            return None
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             if size < 16 or len(body) < 16:

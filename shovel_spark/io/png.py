@@ -32,6 +32,12 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 #: channels per pixel by PNG color type (8-bit depths only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decompression-bomb ceiling: the largest raster decode_png_pixels will
+# inflate (256 MiB covers a 8192x8192 RGBA image). A crafted IHDR declaring
+# more is rejected BEFORE any allocation; a crafted IDAT inflating past the
+# declared geometry is cut off at expected+1 bytes by decompressobj.
+_MAX_RASTER_BYTES = 256 * 1024 * 1024
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG spec §9.4): nearest of left/above/upper-left."""
@@ -169,11 +175,20 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
             pos = body_end + 4
         if width is None or not idat or width == 0 or height == 0:
             return None
-        raw = zlib.decompress(bytes(idat))
-    except (zlib.error, struct.error):
+        # Decompression-bomb fence: the IHDR-declared geometry bounds the
+        # inflated size, so (a) reject absurd declared dimensions before
+        # allocating anything, and (b) inflate with a hard max_length so a
+        # crafted IDAT can never allocate more than the declared raster + 1
+        # sentinel byte, whatever the compressed stream claims.
+        stride = width * channels
+        expected = (stride + 1) * height
+        if expected > _MAX_RASTER_BYTES:
+            return None
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except (zlib.error, struct.error, MemoryError, OverflowError):
         return None
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or dec.unconsumed_tail:
         return None
     out = bytearray(stride * height)
     prev = bytes(stride)

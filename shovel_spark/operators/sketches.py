@@ -104,9 +104,13 @@ def heavy_hitters(
     not from a separate ``df.count()`` job, which at 100 TB would be a
     second full scan. The sketch is localCheckpointed (depth*width rows)
     so the total read and the estimate broadcast share one build. The
-    threshold floors at 1: ``int(total*min_frac)`` truncating to 0 would
-    shortlist EVERY distinct key and degenerate into the unbounded
-    hot-key groupBy the sketch exists to avoid."""
+    threshold floors at 1, which only pins down the semantics of the
+    degenerate ``total*min_frac < 1`` call ("at least a fraction of a
+    row" reads as "at least one row"). It is NOT a skew defense: at such
+    tiny totals every present key has est >= 1 and the whole distinct-key
+    set is shortlisted anyway — fine precisely because the input is tiny.
+    The sketch's bounded state is what protects the LARGE-total case,
+    where the threshold sits far above 1."""
     sketch = count_min_build(df, key_col, depth, width).localCheckpoint()
     total = sketch.filter(F.col("row") == 0).agg(F.sum("c").alias("__total"))
     threshold = F.greatest(

@@ -195,8 +195,11 @@ def distributed_ntile(
          window), materialize once (localCheckpoint) so the counting pass
          and the rank pass can't see different partitionings;
       2. per-partition row counts → cumulative offsets — driver state is
-         ``num_partitions`` rows, never data-sized — broadcast back as a
-         when-chain, so global rank = local rank + partition offset and
+         ``num_partitions`` rows, never data-sized — broadcast-JOINED back
+         as a tiny (pid, offset) frame (an inlined when-chain would nest
+         one CASE per partition: thousands of range partitions would blow
+         up Catalyst analysis / codegen at exactly the scale this function
+         exists for), so global rank = local rank + partition offset and
          the tile is pure map-side arithmetic.
 
     ``order_cols`` must be a total order (include a unique id) or tile
@@ -213,10 +216,14 @@ def distributed_ntile(
     for pid in sorted(sizes):  # range partition i holds the i-th key range
         offsets[pid] = acc
         acc += sizes[pid]
-    off = F.lit(0).cast("long")
-    for pid, o in offsets.items():
-        off = F.when(F.col("__pid") == pid, F.lit(o).cast("long")).otherwise(off)
-    rk = F.col("__rn").cast("long") + off  # 1..N global rank
+    off_df = ranked.sparkSession.createDataFrame(
+        [(int(pid), int(o)) for pid, o in offsets.items()],
+        "__pid int, __off long",
+    )
+    ranked = ranked.join(F.broadcast(off_df), "__pid", "left").withColumn(
+        "__off", F.coalesce(F.col("__off"), F.lit(0).cast("long"))
+    )
+    rk = F.col("__rn").cast("long") + F.col("__off")  # 1..N global rank
     base, rem = divmod(n_total, n_tiles)
     if base == 0:  # fewer rows than tiles: tile k = row k (ntile semantics)
         tile = rk
@@ -225,7 +232,9 @@ def distributed_ntile(
         tile = F.when(
             rk <= F.lit(cut), F.floor((rk - 1) / F.lit(base + 1)) + 1
         ).otherwise(F.lit(rem) + F.floor((rk - F.lit(cut) - 1) / F.lit(base)) + 1)
-    return ranked.withColumn(tile_col, tile.cast("int")).drop("__pid", "__rn")
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(
+        "__pid", "__rn", "__off"
+    )
 
 
 def funnel_times(

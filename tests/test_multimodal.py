@@ -18,7 +18,10 @@ def test_feature_extraction_shape_and_determinism(spark):
     assert r.n_bytes == 256  # 4 × sha2-hex(64)
     assert r.width % 32 == 0 and r.height % 32 == 0
     assert 0 < r.byte_entropy <= 8.0
-    assert r.phash is not None
+    # Undecodable payloads get NULL phash (a byte-prefix fallback would be
+    # a near-constant — format signature bytes — and phash-equality dedup
+    # would collapse unrelated images into one cluster).
+    assert all(r.phash is None for r in f1)
 
 
 def test_binary_column_not_in_feature_output(spark):
@@ -233,6 +236,9 @@ def test_wav_header_golden_and_hostile():
     assert decode_wav_header(b"") is None
     assert decode_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
     assert decode_wav_header(b[:30]) is None                       # truncated
+    # Truncated INSIDE the data chunk: the declared size exceeds the bytes
+    # present, so trusting it would fabricate n_frames/dur_ms for half a file.
+    assert decode_wav_header(b[:-500]) is None
     # non-PCM format code -> None (compressed audio needs a codec lib)
     nonpcm = bytearray(build_wav_bytes(1, 8000, 16, 100))
     nonpcm[20] = 3  # IEEE float format tag
