@@ -5319,6 +5319,54 @@ def docs_pack_shards(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_pack_blocks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, tok_start,
+           tok_start // 512 AS first_block,
+           (tok_start + greatest(n_tok, 1) - 1) // 512 AS last_block,
+           tok_start % 512 AS offset_in_block,
+           (tok_start + greatest(n_tok, 1) - 1) // 512
+             - tok_start // 512 + 1 AS n_blocks
+    FROM c ORDER BY doc_id
+    """,
+)
+def docs_pack_blocks(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing (sampling.pack_blocks):
+    every document's whitespace-token count is laid into ONE global token
+    stream in doc_id order and cut into fixed 512-token training blocks,
+    documents spanning block boundaries. The Spark side computes the global
+    start offsets with distributed_cumsum (range exchange + per-partition
+    windows + an 8-row driver offset table — NO single-partition global
+    window); the oracle replays the same offsets with a plain global window
+    cumsum, which DuckDB can afford at sf0.01. Pure integer arithmetic
+    (offsets far below 2^52, so the floor-divide is exact): every offset,
+    block id, and span matches bit-for-bit."""
+    from shovel_spark.functions.textstats import token_count
+    from shovel_spark.operators.sampling import pack_blocks
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text")).cast("long")
+    )
+    p = pack_blocks(d, "n_tok", block_len=512, num_partitions=8)
+    return p.select(
+        "doc_id", "tok_start", "first_block", "last_block",
+        "offset_in_block", "n_blocks",
+    ).orderBy("doc_id")
+
+
 from shovel_spark.functions.urls import _URL_RE as _URL_ORACLE_RE  # noqa: E402
 from shovel_spark.functions.urls import tracking_drop_sql as _tracking_drop_sql  # noqa: E402
 

@@ -233,6 +233,61 @@ def pack_shards(
     )
 
 
+def pack_blocks(
+    df: DataFrame,
+    token_col: str,
+    block_len: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-then-chunk packing: documents are concatenated in
+    ``id_col`` order into ONE global token stream and cut into fixed
+    ``block_len``-token training blocks, documents SPANNING block
+    boundaries — no padding, no discarded remainder. The complement of
+    pack_shards (which keeps every document whole inside a ~budget-token
+    shard); this is the packing autoregressive pretraining actually uses
+    for its fixed-length context windows (reference has no analog — its
+    pipeline is per-event; this is the training-data tier).
+
+    Adds per document: ``tok_start`` (global offset of its first token),
+    ``first_block``/``last_block`` (block ids it touches),
+    ``offset_in_block`` (position of its first token inside first_block),
+    ``n_blocks`` (blocks spanned). Zero/NULL-token docs span nothing:
+    first = last = the block their offset falls in, n_blocks = 1.
+
+    Scale shape: ONE distributed_cumsum (range exchange + per-partition
+    windows + num_partitions-row driver state) and map-side arithmetic —
+    no global window, no data-sized driver state, no shuffle of text.
+    """
+    from shovel_spark.operators.windows import distributed_cumsum
+
+    if block_len <= 0:
+        raise ValueError(f"block_len must be > 0, got {block_len}")
+    out = distributed_cumsum(
+        df.filter(F.col(id_col).isNotNull()),
+        token_col,
+        [id_col],
+        num_partitions,
+        out_col="tok_start",
+        inclusive=False,
+    )
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+    first = F.floor(F.col("tok_start") / F.lit(block_len)).cast("long")
+    last = F.floor(
+        (F.col("tok_start") + F.greatest(toks, F.lit(1)) - 1) / F.lit(block_len)
+    ).cast("long")
+    return (
+        out.withColumn("first_block", first)
+        .withColumn("last_block", last)
+        .withColumn(
+            "offset_in_block", F.pmod(F.col("tok_start"), F.lit(block_len)).cast("long")
+        )
+        .withColumn(
+            "n_blocks", (F.col("last_block") - F.col("first_block") + 1).cast("long")
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

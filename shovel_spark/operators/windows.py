@@ -237,6 +237,76 @@ def distributed_ntile(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    out_col: str = "cumsum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running total of ``value_col`` over the total order
+    ``order_cols`` WITHOUT the single-partition global window
+    (``Window.orderBy(...)`` with no partitionBy funnels every row through
+    one task — the same scale-killer distributed_ntile avoids).
+
+    Classic two-pass distributed prefix sum:
+      1. range-repartition on the sort keys (so partition i holds the i-th
+         key range), running total WITHIN each partition (window
+         partitioned by ``__pid`` — fully parallel); localCheckpoint pins
+         the partitioning so both passes see the same layout;
+      2. per-partition TOTALS → exclusive prefix over partition ids —
+         driver state is ``num_partitions`` rows, never data-sized —
+         broadcast-joined back as a tiny (pid, offset) frame (not an
+         inlined CASE chain, which would nest one branch per partition);
+         global running total = local running total + partition offset.
+
+    ``inclusive=False`` yields the EXCLUSIVE prefix sum (total of rows
+    strictly before this one in the order) — what concat-then-chunk
+    sequence packing needs for each document's start offset.
+
+    Values are summed as longs (NULL adds 0). ``order_cols`` must be a
+    total order (include a unique id) or the running total at duplicate
+    keys depends on physical row order.
+    """
+    num_partitions = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    v = F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    end = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = F.coalesce(F.sum(v).over(w), F.lit(0).cast("long"))
+    sums = {
+        r["__pid"]: r["s"]
+        for r in part.groupBy("__pid").agg(F.sum(v).alias("s")).collect()
+    }
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for pid in sorted(sums):  # range partition i holds the i-th key range
+        offsets.append((int(pid), acc))
+        acc += int(sums[pid] or 0)
+    off_df = part.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        part.withColumn("__local", local)
+        .join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            F.col("__local") + F.coalesce(F.col("__off"), F.lit(0).cast("long")),
+        )
+        .drop("__pid", "__off", "__local")
+    )
+
+
 def funnel_times(
     df: DataFrame,
     steps: list[str],

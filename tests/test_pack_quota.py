@@ -307,3 +307,40 @@ def test_weighted_sample_small_fractional_weights(spark):
     a = {r.doc_id for r in weighted_sample_k(with_null, 50, "w").collect()}
     b = {r.doc_id for r in weighted_sample_k(with_null.repartition(13), 50, "w").collect()}
     assert a == b and None not in a
+
+
+def test_pack_blocks_contiguous_stream(spark, docs):
+    """Concat-then-chunk invariants: offsets are exactly the exclusive
+    prefix sum in id order (each doc starts where the previous ended),
+    block ids follow from pure arithmetic, and blocks cover the stream
+    with no gaps."""
+    from shovel_spark.operators.sampling import pack_blocks
+
+    rows = sorted(
+        pack_blocks(docs, "n_tok", block_len=64, num_partitions=5).collect(),
+        key=lambda r: r.doc_id,
+    )
+    expect_start = 0
+    for r in rows:
+        assert r.tok_start == expect_start, r
+        assert r.first_block == r.tok_start // 64
+        assert r.last_block == (r.tok_start + max(r.n_tok, 1) - 1) // 64
+        assert r.offset_in_block == r.tok_start % 64
+        assert r.n_blocks == r.last_block - r.first_block + 1 >= 1
+        expect_start += r.n_tok
+
+
+def test_pack_blocks_deterministic_across_partitioning(spark, docs):
+    from shovel_spark.operators.sampling import pack_blocks
+
+    a = pack_blocks(docs, "n_tok", 128, num_partitions=3).collect()
+    b = pack_blocks(docs.repartition(13), "n_tok", 128, num_partitions=9).collect()
+    key = lambda rs: sorted((r.doc_id, r.tok_start, r.first_block, r.last_block) for r in rs)
+    assert key(a) == key(b)
+
+
+def test_pack_blocks_validates_args(spark, docs):
+    from shovel_spark.operators.sampling import pack_blocks
+
+    with pytest.raises(ValueError):
+        pack_blocks(docs, "n_chars", 0)

@@ -243,3 +243,57 @@ def test_distributed_ntile_no_global_window(spark):
         assert "__pid" in line, f"unpartitioned window: {line}"
     # and the exchange is a RANGE partitioning, not a single partition
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """Exact parity with Spark's own global-window running total, inclusive
+    and exclusive, including NULL values (add 0) and a value column that
+    needs the long cast."""
+    from pyspark.sql import Window
+
+    df = spark.range(200).select(
+        F.col("id").alias("uid"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise((F.col("id") * 31) % 97)
+        .cast("int")
+        .alias("v"),
+    )
+    v = F.coalesce(F.col("v").cast("long"), F.lit(0))
+    for inclusive in (True, False):
+        end = Window.currentRow if inclusive else -1
+        w = Window.orderBy("uid").rowsBetween(Window.unboundedPreceding, end)
+        want = {
+            r.uid: r.c
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum(v).over(w), F.lit(0))
+            ).collect()
+        }
+        got = {
+            r.uid: r.cumsum
+            for r in windows.distributed_cumsum(
+                df, "v", ["uid"], num_partitions=7, inclusive=inclusive
+            ).collect()
+        }
+        assert got == want, f"inclusive={inclusive}"
+
+
+def test_distributed_cumsum_no_global_window(spark):
+    """The running-total window is partitioned by __pid and the exchange is
+    a range partitioning — never a single-partition global sort; the
+    partition offsets come back via a broadcast join, not a CASE chain."""
+    df = spark.range(5000).select(
+        F.col("id").alias("uid"), (F.col("id") % 11).alias("v")
+    )
+    out = windows.distributed_cumsum(df, "v", ["uid"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_lines, plan
+    for line in win_lines:
+        assert "__pid" in line, f"unpartitioned window: {line}"
+    assert "BroadcastHashJoin" in plan, plan
+    # no CASE chain: the offset expression must not scale with partitions
+    assert plan.count("CASE WHEN") < 8, plan
