@@ -47,6 +47,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_paragraph_dedup",
     "docs_gopher_rules",
     "docs_pack_blocks",
+    "docs_dsir_sample",
+    "multimodal_audio_rms",
     # oracle changed in round 6 — must re-attest
     "events_heavy_hitters_cm",
     # last driver-attested r04 (alphabetical, first 34 of 49)
@@ -81,10 +83,9 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_lsh_topk_batch",
     "events_resample_dense",
     "events_value_histogram",
-    "events_zorder_stats",
-    "funnel_view_click_purchase",
     # r04-attested spill to round 7 (window full at 50):
-    # grok_log_roundtrip, msgpack_roundtrip, orders_above_avg, pages_snapshot_diff,
+    # events_zorder_stats, funnel_view_click_purchase, grok_log_roundtrip,
+    # msgpack_roundtrip, orders_above_avg, pages_snapshot_diff,
     # pages_snapshot_upsert, parse_json_props, parse_variant_props,
     # pivot_event_values, proto_delimited_roundtrip, proto_roundtrip,
     # route_sink_counts, route_status_counts, user_zscore_extremes,

@@ -1282,6 +1282,73 @@ def docs_bigram_lm_scores(spark, sf_dir):
 
 
 @_register(
+    "docs_dsir_sample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, 'u:' || unnest(w) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, 'b:' || w[i] || ' ' || w[i + 1] AS f
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM toks WHERE len(w) >= 2)
+    ),
+    cells AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT % 64 AS bucket,
+             count(*) AS cnt
+      FROM feats GROUP BY 1, 2
+    ),
+    src_d AS (SELECT bucket, sum(cnt) AS c FROM cells GROUP BY 1),
+    src_t AS (SELECT sum(cnt) AS tot FROM cells),
+    tgt_cells AS (
+      SELECT c.bucket, c.cnt FROM cells c
+      JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+    ),
+    tgt_d AS (SELECT bucket, sum(cnt) AS c FROM tgt_cells GROUP BY 1),
+    tgt_t AS (SELECT sum(cnt) AS tot FROM tgt_cells),
+    b AS (SELECT unnest(range(0, 64)) AS bucket),
+    lr AS (
+      SELECT b.bucket,
+             ln((coalesce(t.c, 0) + 1) / (tt.tot + 64))
+               - ln((coalesce(s.c, 0) + 1) / (st.tot + 64)) AS lrr
+      FROM b LEFT JOIN tgt_d t USING (bucket) LEFT JOIN src_d s USING (bucket)
+      CROSS JOIN tgt_t tt CROSS JOIN src_t st
+    ),
+    w AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+             round(sum(cnt * lrr), 4) AS logw
+      FROM cells JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, n_feats, logw FROM w ORDER BY logw DESC, doc_id LIMIT 40
+    """,
+)
+def docs_dsir_sample(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): score
+    every document by the log importance ratio of its hashed unigram+bigram
+    bag under a TARGET multinomial (the lang='en' subset, standing in for
+    a trusted corpus) vs the RAW source multinomial (all docs), both
+    add-one smoothed over 64 md5-hashed cells; keep the top 40 by rounded
+    log-weight (id tiebreak — both engines elect on the ROUNDED value, so
+    the cut is identical). The full resampling variant composes
+    dsir_log_weights with sampling.weighted_sample_k(exp(logw)).
+
+    Scale shape: distribution tables are 64 rows (broadcast); per-doc cell
+    counts are map-side-combinable explodes; one broadcast join + one
+    groupBy(id) — text never shuffles."""
+    from shovel_spark.operators.dsir import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select("doc_id", "text")
+    tgt = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    w = dsir_log_weights(src, tgt, buckets=64).select(
+        "doc_id", "n_feats", F.round("logw", 4).alias("logw")
+    )
+    return w.orderBy(F.col("logw").desc(), "doc_id").limit(40)
+
+
+@_register(
     "events_heavy_hitters_cm",
     """
     WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
@@ -3137,6 +3204,79 @@ def multimodal_audio_meta(spark, sf_dir):
     media = synth_wav_media(ids, id_col="doc_id")
     return extract_audio_features(media).select(
         "media_id", "fmt", "channels", "sample_rate", "bits", "n_frames", "dur_ms"
+    )
+
+
+@_register(
+    "multimodal_audio_rms",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS ch,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             8000 + (doc_id % 5) * 4000 AS sr,
+             1000 + (doc_id % 7) * 500 AS nf
+      FROM documents WHERE doc_id < 96
+    ),
+    p AS (
+      SELECT media_id, ch, bits,
+             md5('wav:' || ch || ':' || sr || ':' || bits || ':' || nf) AS hex,
+             nf * ch * (bits // 8) AS data_size
+      FROM m
+    ),
+    b AS (  -- the 16 md5-seed bytes the payload tiles
+      SELECT media_id, bits, data_size, k,
+             ('0x' || substr(hex, CAST(2 * k + 1 AS INT), 2))::BIGINT AS byte
+      FROM p, range(0, 16) t(k)
+    ),
+    s8 AS (  -- 8-bit PCM: unsigned bytes centered at 128, one per sample
+      SELECT media_id, data_size AS n_samples, byte - 128 AS val,
+             data_size // 16
+               + CASE WHEN k < data_size % 16 THEN 1 ELSE 0 END AS cnt
+      FROM b WHERE bits = 8
+    ),
+    s16 AS (  -- 16-bit LE signed: sample j from seed bytes (2j, 2j+1)
+      SELECT lo.media_id, lo.data_size // 2 AS n_samples,
+             CASE WHEN lo.byte + 256 * hi.byte >= 32768
+                  THEN lo.byte + 256 * hi.byte - 65536
+                  ELSE lo.byte + 256 * hi.byte END AS val,
+             (lo.data_size // 2) // 8
+               + CASE WHEN lo.k // 2 < (lo.data_size // 2) % 8
+                      THEN 1 ELSE 0 END AS cnt
+      FROM b lo JOIN b hi
+        ON lo.media_id = hi.media_id AND hi.k = lo.k + 1
+      WHERE lo.bits = 16 AND lo.k % 2 = 0
+    ),
+    u AS (SELECT * FROM s8 UNION ALL SELECT * FROM s16)
+    SELECT media_id,
+           CAST(min(n_samples) AS BIGINT) AS n_samples,
+           CAST(sum(cnt * val * val) AS BIGINT) AS sum_sq,
+           CAST(max(abs(val)) AS BIGINT) AS peak,
+           round(sqrt(sum(cnt * val * val) * 1.0 / min(n_samples)), 4) AS rms
+    FROM u GROUP BY media_id
+    """,
+)
+def multimodal_audio_rms(spark, sf_dir):
+    """REAL PCM sample decode (io/multimodal.decode_wav_samples): the synth
+    WAVs' data chunks are actually decoded — 8-bit unsigned-centered and
+    16-bit little-endian signed paths both exercised — into exact integer
+    (n_samples, sum_sq, peak), from which RMS loudness derives. The synth
+    payload tiles a 16-byte md5 seed, so the oracle reconstructs every
+    sample arithmetically (byte k of the digest, repetition counts from
+    data_size) WITHOUT parsing a container: a value match proves the chunk
+    walk, the sample-width decode, and the statistics bit-for-bit. This is
+    the loudness/silence/clipping gate of an audio curation pipeline.
+
+    Scale shape: map-only Arrow batches (samples never leave the map
+    stage; 24 bytes of stats per payload downstream)."""
+    from shovel_spark.io.multimodal import extract_audio_pcm_stats, synth_wav_media
+
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 96).select("doc_id")
+    media = synth_wav_media(ids, id_col="doc_id")
+    s = extract_audio_pcm_stats(media)
+    return s.select(
+        "media_id", "n_samples", "sum_sq", "peak",
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4).alias("rms"),
     )
 
 

@@ -278,6 +278,46 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _parse_wav(
+    data: bytes,
+) -> tuple[int, int, int, int, bytes] | None:
+    """Shared RIFF/WAVE chunk walk: (channels, sample_rate, bits,
+    block_align, data_chunk_bytes) for a complete PCM WAV, else None.
+    A chunk declaring more bytes than the payload holds (truncated file)
+    is rejected — trusting the declared size would fabricate durations and
+    sample counts for half a file."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    n = len(data)
+    channels = sample_rate = bits = block_align = None
+    body = None
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > n:
+            return None  # truncated inside this chunk
+        chunk = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if size < 16:
+                return None
+            audio_format = int.from_bytes(chunk[0:2], "little")
+            if audio_format != 1:  # PCM only; compressed needs a codec lib
+                return None
+            channels = int.from_bytes(chunk[2:4], "little")
+            sample_rate = int.from_bytes(chunk[4:8], "little")
+            block_align = int.from_bytes(chunk[12:14], "little")
+            bits = int.from_bytes(chunk[14:16], "little")
+        elif tag == b"data":
+            body = chunk
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if None in (channels, sample_rate, bits, block_align) or body is None:
+        return None
+    if not channels or not sample_rate or not block_align:
+        return None
+    return (channels, sample_rate, bits, block_align, body)
+
+
 def decode_wav_header(data: bytes) -> tuple[int, int, int, int, int] | None:
     """REAL (channels, sample_rate, bits, n_frames, dur_ms) from a RIFF/WAVE
     container — pure byte parsing (chunk walk with word-alignment padding,
@@ -285,42 +325,45 @@ def decode_wav_header(data: bytes) -> tuple[int, int, int, int, int] | None:
     Covers the duration/sample-rate/channel filters an audio-curation
     pipeline runs WITHOUT decoding samples. None for non-WAV, compressed
     (non-PCM), or truncated payloads — never raises."""
-    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+    parsed = _parse_wav(data)
+    if parsed is None:
         return None
-    pos = 12
-    n = len(data)
-    channels = sample_rate = bits = block_align = None
-    data_size = None
-    while pos + 8 <= n:
-        tag = data[pos : pos + 4]
-        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
-        if pos + 8 + size > n:
-            # Chunk declares more bytes than the payload holds (truncated
-            # file): reject rather than trust the declared size — a
-            # duration/frame count computed from it would overstate what
-            # is actually present (the docstring's "truncated → None").
-            return None
-        body = data[pos + 8 : pos + 8 + size]
-        if tag == b"fmt ":
-            if size < 16 or len(body) < 16:
-                return None
-            audio_format = int.from_bytes(body[0:2], "little")
-            if audio_format != 1:  # PCM only; compressed needs a codec lib
-                return None
-            channels = int.from_bytes(body[2:4], "little")
-            sample_rate = int.from_bytes(body[4:8], "little")
-            block_align = int.from_bytes(body[12:14], "little")
-            bits = int.from_bytes(body[14:16], "little")
-        elif tag == b"data":
-            data_size = size
-        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if None in (channels, sample_rate, bits, block_align, data_size):
-        return None
-    if not channels or not sample_rate or not block_align:
-        return None
-    n_frames = data_size // block_align
+    channels, sample_rate, bits, block_align, body = parsed
+    n_frames = len(body) // block_align
     dur_ms = n_frames * 1000 // sample_rate
     return (channels, sample_rate, bits, n_frames, dur_ms)
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, int, int] | None:
+    """REAL PCM sample decode — (n_samples, sum_sq, peak) over every sample
+    in the data chunk (channels interleaved, all counted). 8-bit PCM is
+    unsigned centered at 128 (sample = byte - 128, per the WAV spec);
+    16-bit is little-endian signed. EXACT integer statistics, so a SQL
+    oracle that knows the payload bytes replays them bit-for-bit; RMS and
+    silence/clipping gates derive as sqrt(sum_sq / n_samples) and
+    peak-threshold filters. None for anything _parse_wav rejects, other
+    bit depths, or a data chunk misaligned to the sample width."""
+    parsed = _parse_wav(data)
+    if parsed is None:
+        return None
+    _, _, bits, _, body = parsed
+    import numpy as np
+
+    if bits == 8:
+        samples = np.frombuffer(body, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        if len(body) % 2:
+            return None
+        samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+    else:
+        return None
+    if samples.size == 0:
+        return (0, 0, 0)
+    return (
+        int(samples.size),
+        int(np.square(samples).sum()),
+        int(np.abs(samples).max()),
+    )
 
 
 def build_wav_bytes(
@@ -385,6 +428,38 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "data").mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_pcm_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas PCM sample statistics (decode_wav_samples): exact
+    (n_samples, sum_sq, peak) per payload — the inputs to RMS loudness,
+    silence, and clipping gates. Same plumbing contract as the other
+    extractors: Arrow batches in, binary never leaves the map stage,
+    undecodable payloads get NULL stats (rows never dropped silently)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sum_sq": [], "peak": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) if data is not None else b""
+                s = decode_wav_samples(raw)
+                out["media_id"].append(mid)
+                out["n_samples"].append(None if s is None else s[0])
+                out["sum_sq"].append(None if s is None else s[1])
+                out["peak"].append(None if s is None else s[2])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(stats, AUDIO_PCM_SCHEMA)
 
 
 def synth_wav_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:

@@ -245,3 +245,50 @@ def test_wav_header_golden_and_hostile():
     assert decode_wav_header(bytes(nonpcm)) is None
     # alien bytes
     assert decode_wav_header(b"GIF89a not audio at all padding") is None
+
+
+def test_wav_samples_golden_and_hostile():
+    """decode_wav_samples vs hand-computed stats from the known md5-seed
+    payload, both bit depths; hostile/truncated inputs return None."""
+    import hashlib
+    import struct
+
+    from shovel_spark.io.multimodal import build_wav_bytes, decode_wav_samples
+
+    # 8-bit: payload bytes are the md5 seed tiled; samples = byte - 128
+    b8 = build_wav_bytes(1, 8000, 8, 20)
+    seed = hashlib.md5(b"wav:1:8000:8:20").digest()
+    vals = [(seed * 2)[i % 16] - 128 for i in range(20)]
+    assert decode_wav_samples(b8) == (
+        20, sum(v * v for v in vals), max(abs(v) for v in vals)
+    )
+
+    # 16-bit LE signed, stereo (channels interleaved, all counted)
+    b16 = build_wav_bytes(2, 16000, 16, 7)  # 7 frames x 2ch = 14 samples
+    seed = hashlib.md5(b"wav:2:16000:16:7").digest()
+    payload = (seed * 2)[:28]
+    vals = list(struct.unpack("<14h", payload))
+    assert decode_wav_samples(b16) == (
+        14, sum(v * v for v in vals), max(abs(v) for v in vals)
+    )
+
+    assert decode_wav_samples(b"") is None
+    assert decode_wav_samples(b16[:-5]) is None  # truncated data chunk
+    assert decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
+    nonpcm = bytearray(build_wav_bytes(1, 8000, 16, 10))
+    nonpcm[20] = 3  # IEEE float tag — not PCM
+    assert decode_wav_samples(bytes(nonpcm)) is None
+
+
+def test_audio_pcm_stats_extractor(spark):
+    """Arrow plumbing: undecodable payloads get NULL stats, decodable ones
+    match the direct function, binary column stays in the map stage."""
+    from shovel_spark.io import multimodal as mm
+
+    rows = [(1, mm.build_wav_bytes(1, 8000, 8, 100)), (2, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r.media_id: r for r in mm.extract_audio_pcm_stats(df).collect()}
+    direct = mm.decode_wav_samples(rows[0][1])
+    assert (out[1].n_samples, out[1].sum_sq, out[1].peak) == direct
+    assert out[2].n_samples is None and out[2].sum_sq is None
+    assert "data" not in mm.extract_audio_pcm_stats(df).columns
