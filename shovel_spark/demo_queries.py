@@ -693,6 +693,70 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 @_register(
+    "emb_margin_mining",
+    """
+    WITH a AS (
+      SELECT vec_id AS a_id, embedding::DOUBLE[] AS va FROM embeddings
+      WHERE vec_id < 200 AND vec_id % 2 = 0
+    ),
+    b AS (
+      SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb FROM embeddings
+      WHERE vec_id < 200 AND vec_id % 2 = 1
+    ),
+    p AS (
+      SELECT a_id, b_id,
+             round(list_cosine_similarity(va, vb), 9) AS cos
+      FROM a, b
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb
+      FROM p
+    ),
+    na AS (SELECT a_id, avg(cos) AS xa FROM r WHERE ra <= 4 GROUP BY 1),
+    nb AS (SELECT b_id, avg(cos) AS xb FROM r WHERE rb <= 4 GROUP BY 1),
+    m AS (
+      SELECT r.a_id, r.b_id, cos,
+             round(cos / ((xa + xb) / 2), 4) AS margin
+      FROM r JOIN na USING (a_id) JOIN nb USING (b_id)
+    ),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS ba,
+             row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bb
+      FROM m
+    )
+    SELECT a_id, b_id, round(cos, 4) AS cos, margin
+    FROM best WHERE ba = 1 AND bb = 1 AND margin > 1.05
+    ORDER BY a_id
+    """,
+)
+def emb_margin_mining(spark, sf_dir):
+    """Margin-based bitext/pair mining (similarity.margin_mine — the
+    CCMatrix/LASER criterion, Artetxe & Schwenk 2019): split the embedding
+    corpus into two 'languages' (even/odd ids), score every cross pair by
+    cosine normalized by the mean of both endpoints' 4-NN neighborhoods,
+    keep MUTUAL-best pairs with margin > 1.05. The oracle replays the
+    whole chain — pair cosines, both k-NN neighborhoods, the margin
+    arithmetic, and the two-sided argmax election (quantized at 1e-9 /
+    1e-4 so both engines elect identically).
+
+    Scale shape: the demo mines one fence (full cross of 100x100); corpus
+    wide, pass `candidates` from the LSH/IVF buckets and the same plan
+    mines per bucket — windows stay partitioned by endpoint id."""
+    from shovel_spark.operators.similarity import margin_mine
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+    out = margin_mine(a, b, k=4, threshold=1.05)
+    return out.select(
+        "a_id", "b_id", F.round("cos", 4).alias("cos"), "margin"
+    ).orderBy("a_id")
+
+
+@_register(
     "emb_centroid_norms",
     """
     WITH e AS (

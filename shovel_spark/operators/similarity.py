@@ -600,3 +600,90 @@ def semantic_dedup(
             (F.col(id_col) == F.col("__keep_id")).alias("keep"),
         )
     )
+
+
+def margin_mine(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    round_cos: int | None = 9,
+    round_margin: int | None = 4,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER criterion): score every cross-set pair by its cosine
+    NORMALIZED by the mean similarity of the two endpoints' k-NN
+    neighborhoods::
+
+        margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+
+    and keep MUTUAL-best pairs above ``threshold``. Raw cosine alone
+    over-selects hubs (vectors close to everything); the margin asks
+    "is y closer to x than x's OTHER neighbors are?" in both directions.
+    The standard tool for mining bitext / aligned multimodal pairs from
+    two embedded corpora.
+
+    ``candidates`` — optional (a_id, b_id) pair fence. None means the
+    full cross product: correct for one bucket, a scale-killer corpus
+    wide. At 100 TB fence first (build_lsh_index / ivf cells: mine within
+    matching buckets), exactly like semantic_dedup's cell fence; the
+    margin then normalizes by the IN-FENCE neighborhood, the published
+    fast-mining setup.
+
+    ``round_cos`` / ``round_margin`` quantize before every ranking so two
+    engines elect identical pairs (floats differing in the last ulp
+    cannot flip an ordering at 1e-9 / 1e-4 granularity); None keeps full
+    precision. Returns (a_id, b_id, cos, margin), mutual-best rows only.
+    """
+    from pyspark.sql import Window
+
+    av = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
+    bv = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    if candidates is None:
+        paired = av.crossJoin(F.broadcast(bv))
+    else:
+        paired = candidates.select("a_id", "b_id").join(av, "a_id").join(
+            F.broadcast(bv), "b_id"
+        )
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    if round_cos is not None:
+        cos = F.round(cos, round_cos)
+    pairs = paired.select("a_id", "b_id", cos.alias("cos"))
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
+    ranked = pairs.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rb", F.row_number().over(wb)
+    )
+    avg_a = (
+        ranked.filter(F.col("__ra") <= k)
+        .groupBy("a_id")
+        .agg(F.avg("cos").alias("__na"))
+    )
+    avg_b = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("b_id")
+        .agg(F.avg("cos").alias("__nb"))
+    )
+    margin = F.col("cos") / ((F.col("__na") + F.col("__nb")) / F.lit(2.0))
+    if round_margin is not None:
+        margin = F.round(margin, round_margin)
+    m = (
+        ranked.join(avg_a, "a_id")
+        .join(avg_b, "b_id")
+        .withColumn("margin", margin)
+    )
+    wma = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    wmb = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+    return (
+        m.withColumn("__ba", F.row_number().over(wma))
+        .withColumn("__bb", F.row_number().over(wmb))
+        .filter(
+            (F.col("__ba") == 1)
+            & (F.col("__bb") == 1)
+            & (F.col("margin") > F.lit(threshold))
+        )
+        .select("a_id", "b_id", "cos", "margin")
+    )

@@ -959,3 +959,41 @@ def test_paragraph_dedup_policy_and_reassembly(spark):
     assert (got[2].n_paras, got[2].n_kept, got[2].text) == (2, 1, tail2)
     assert (got[3].n_paras, got[3].n_kept, got[3].text) == (2, 0, "")
     assert (got[4].n_paras, got[4].n_kept, got[4].text) == (1, 0, "")
+
+
+def test_margin_mine_mutual_best_and_hub_suppression(spark):
+    """margin_mine keeps only MUTUAL-best pairs above threshold, and the
+    neighborhood normalization suppresses a hub vector (close to
+    everything) that raw cosine alone would match to every query.
+
+    Geometry: a0/b0 and a1/b1 are genuine pairs (near-identical
+    directions); bH is a hub sitting between them (high cosine to both
+    a0 and a1) — after dividing by its dense neighborhood average its
+    margin stays ~1, so neither a keeps it; a2 points nowhere near any
+    b, so it mines nothing."""
+    from shovel_spark.operators.similarity import margin_mine
+
+    a_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    b_rows = [
+        (1, [0.99, 0.05, 0.0, 0.0]),
+        (3, [0.05, 0.99, 0.0, 0.0]),
+        (5, [0.6, 0.6, 0.1, 0.0]),  # hub: fairly close to BOTH a0 and a2
+    ]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.a_id, r.b_id): r.margin
+        for r in margin_mine(a, b, k=2, threshold=1.05).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3)}
+    assert all(m > 1.05 for m in got.values())
+    # candidates fence: a single-pair fence makes BOTH neighborhood
+    # averages equal the pair's own cosine, so margin == 1.0 exactly —
+    # a strict threshold just below keeps it
+    cand = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    fenced = margin_mine(a, b, k=2, threshold=0.999, candidates=cand).collect()
+    assert [(r.a_id, r.b_id, r.margin) for r in fenced] == [(0, 1, 1.0)]

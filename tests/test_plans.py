@@ -80,8 +80,10 @@ def test_no_cartesian_product_in_any_contract_query(spark):
     crossJoins against config-sized sides (a 4-row band table, a 1-row
     query vector, k centroids, a 50-row hard-negative query batch with a
     label-mismatch predicate, the bigram LM's 1-row vocabulary-size
-    aggregate, the count-min sketch's 1-row derived total) — the correct
-    plan for those shapes."""
+    aggregate, the count-min sketch's 1-row derived total, DSIR's 1-row
+    corpus-total aggregates, margin mining's intentional in-fence cross
+    of the two broadcastable vector sets) — the correct plan for those
+    shapes."""
     import __spark_entry__ as e
 
     bnlj_ok = {
@@ -95,6 +97,8 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "events_hll_users",
         "events_bloom_signup_filter",
         "docs_dedup_suite",
+        "docs_dsir_sample",
+        "emb_margin_mining",
     }
     offenders = {}
     for name, fn in e.queries().items():
