@@ -5245,6 +5245,60 @@ def docs_tfidf_terms(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_bm25_search",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != ''
+    ),
+    d AS (SELECT doc_id, w, len(w) AS dl FROM w),
+    stats AS (
+      SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, any_value(dl) AS dl, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+      WHERE t IN ('merge', 'spark', 'vector')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS n_terms,
+             round(sum(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, n_terms, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+)
+def docs_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (search.bm25_topk, Lucene idf form):
+    top-15 documents for the query {merge, spark, vector} with k1=1.2,
+    b=0.75. The oracle replays corpus stats (N, exact-sum avgdl), the
+    query-term-filtered postings, per-term idf, the saturation formula,
+    and the (score desc, doc_id) election.
+
+    Scale shape: the explode is filtered to the 3 query terms BEFORE the
+    postings groupBy (the only corpus-sized shuffle carries query-term
+    rows only); df + the 1-row stats broadcast onto the postings; top-k
+    is TakeOrderedAndProject, never a full sort. build_postings persists
+    the same relation term-partitioned for standing-index probes."""
+    from shovel_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "vector", "merge"], top_k=15)
+
+
 def _lr_iter_ctes(n_iters: int, lr: float = 2.0) -> str:
     """DuckDB CTE replay of logreg_fit iterations (operators/classify.py):
     same op order, same per-iteration 6-dp rounding of weights and bias, so

@@ -99,6 +99,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "docs_dedup_suite",
         "docs_dsir_sample",
         "emb_margin_mining",
+        "docs_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast
     }
     offenders = {}
     for name, fn in e.queries().items():

@@ -162,3 +162,37 @@ def test_gopher_flags_each_rule(spark):
     assert not got[3].sym_ok
     assert not got[4].stop_ok
     assert not got[5].rep_ok and got[5].stop_ok
+
+
+def test_bm25_topk_hand_computed(spark):
+    """bm25_topk matches a hand-computed Okapi BM25 (Lucene idf) on a
+    3-doc corpus, counts matched terms, and orders (score desc, id)."""
+    import math
+
+    from shovel_spark.operators.search import bm25_topk, build_postings
+
+    rows = [(1, "a b a"), (2, "b c"), (3, "c c c d"), (4, None), (5, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    post = {(r.term, r.doc_id): (r.tf, r.dl) for r in build_postings(df).collect()}
+    assert post[("a", 1)] == (2, 3) and post[("c", 3)] == (3, 4)
+    assert len(post) == 6  # a,b @1; b,c @2; c,d @3 — no rows for 4/5
+
+    got = [(r.doc_id, r.n_terms, r.score) for r in
+           bm25_topk(df, ["a", "c"], top_k=10).collect()]
+
+    # N=3 scorable docs, avgdl=3; df(a)=1, df(c)=2; k1=1.2, b=0.75
+    idf_a, idf_c = math.log(1 + 2.5 / 1.5), math.log(1 + 1.5 / 2.5)
+
+    def part(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    exp = sorted(
+        [
+            (1, 1, round(idf_a * part(2, 3), 6)),
+            (2, 1, round(idf_c * part(1, 2), 6)),
+            (3, 1, round(idf_c * part(3, 4), 6)),
+        ],
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert got == exp
