@@ -5299,6 +5299,168 @@ def docs_bm25_search(spark, sf_dir):
     return bm25_topk(d, ["spark", "vector", "merge"], top_k=15)
 
 
+def _bpe_iter_ctes(n_merges: int) -> str:
+    """DuckDB CTE replay of bpe_train merge steps (operators/bpe.py): per
+    step, adjacent-pair counts over the current symbol tables, the
+    (count desc, left, right) election, and the double-separator literal
+    `replace` merge — the same greedy left-to-right semantics Spark runs,
+    so every step's elected pair and count match bit-for-bit."""
+    parts = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    p{i} AS (
+      SELECT syms[u.gi] AS l, syms[u.gi + 1] AS r, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS syms FROM s{p}),
+           UNNEST(generate_series(1, len(syms) - 1)) AS u(gi)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT {i}::BIGINT AS step, l, r, c
+      FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                        ' ' || b.l || b.r || ' ') AS s
+      FROM s{p} CROSS JOIN b{i} b
+    )"""
+        )
+    return ",".join(parts)
+
+
+_BPE_WORDS_CTES = r"""
+    bpe_words AS MATERIALIZED (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) != '')
+      WHERE w != '' AND regexp_matches(w, '^[ -~]+$')
+      GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(
+                      list_append(string_split(word, ''), '</w>'), '  ') || ' ' AS s
+      FROM bpe_words
+    )"""
+
+
+@_register(
+    "docs_bpe_merges",
+    f"""
+    WITH {_BPE_WORDS_CTES},
+    {_bpe_iter_ctes(8)}
+    SELECT step, l AS merge_left, r AS merge_right, c AS pair_count
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
+          SELECT * FROM b3 UNION ALL SELECT * FROM b4 UNION ALL
+          SELECT * FROM b5 UNION ALL SELECT * FROM b6 UNION ALL
+          SELECT * FROM b7 UNION ALL SELECT * FROM b8)
+    ORDER BY step
+    """,
+)
+def docs_bpe_merges(spark, sf_dir):
+    """BPE vocabulary learning (bpe.bpe_train, Sennrich et al. 2016):
+    the first 8 merges learned from the documents corpus — per step the
+    elected (left, right) pair and its corpus frequency, ties broken
+    (count desc, left, right). The oracle replays the whole trajectory:
+    word-frequency table, char+</w> init, per-step pair counts, election,
+    and the greedy double-separator replace merge, bit-for-bit.
+
+    Scale shape: the corpus is touched ONCE (word_counts groupBy down to
+    the vocabulary); every merge iteration runs on the vocab-sized table
+    — one pair-count groupBy + a 1-row TakeOrdered election per step,
+    localCheckpoint truncating lineage. Driver state = num_merges rows."""
+    from shovel_spark.operators.bpe import bpe_train, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(spark, word_counts(d), num_merges=8)
+    return merges.select(
+        "step",
+        F.col("left").alias("merge_left"),
+        F.col("right").alias("merge_right"),
+        "pair_count",
+    )
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Chained-replace SQL expression encoding one word `w` with the
+    learned merges b1..bN in training order (bpe.bpe_segment's unrolled
+    form, including the opaque-symbol fallback for non-ASCII words)."""
+    expr = (
+        "' ' || array_to_string(list_append("
+        "CASE WHEN regexp_matches(w, '^[ -~]+$') THEN string_split(w, '')"
+        " ELSE [w] END, '</w>'), '  ') || ' '"
+    )
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},"
+            f" ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',"
+            f" ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ')"
+        )
+    return f"string_split(trim({expr}, ' '), '  ')"
+
+
+@_register(
+    "docs_bpe_fertility",
+    f"""
+    WITH {_BPE_WORDS_CTES},
+    {_bpe_iter_ctes(8)},
+    enc AS (
+      SELECT doc_id, {_bpe_encode_sql(8)} AS toks
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != '')
+      WHERE w != ''
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_words, sum(len(toks))::BIGINT AS n_tokens,
+           round(sum(len(toks))::DOUBLE / count(*), 6) AS fertility
+    FROM enc GROUP BY 1
+    ORDER BY doc_id
+    """,
+)
+def docs_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit (bpe.bpe_segment): train 8 BPE merges on
+    the corpus, segment every document with them, and report per-doc
+    word count, subword token count, and fertility (tokens/word) — the
+    standard tokenizer-efficiency metric a data pipeline tracks when
+    reporting token budgets. The oracle replays training AND the unrolled
+    chained-replace encoding.
+
+    Scale shape: training as in docs_bpe_merges; segmentation is ONE
+    map-only codegen projection (merges collected — 8 bounded rows —
+    and unrolled into nested literal replaces inside a transform
+    lambda), no shuffle beyond the final per-doc aggregate."""
+    from shovel_spark.operators.bpe import bpe_segment, bpe_train, word_counts
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & (F.trim("text") != "")
+    )
+    merges, _ = bpe_train(spark, word_counts(d), num_merges=8)
+    seg = bpe_segment(d, merges)
+    n_words = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != ""))
+    return (
+        seg.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.size("bpe_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "fertility",
+        )
+    )
+
+
 def _lr_iter_ctes(n_iters: int, lr: float = 2.0) -> str:
     """DuckDB CTE replay of logreg_fit iterations (operators/classify.py):
     same op order, same per-iteration 6-dp rounding of weights and bias, so
