@@ -5299,6 +5299,47 @@ def docs_bm25_search(spark, sf_dir):
     return bm25_topk(d, ["spark", "vector", "merge"], top_k=15)
 
 
+@_register(
+    "docs_phrase_mining",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> w != '') AS t
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+    ),
+    uni AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ),
+    nn AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    bi AS (
+      SELECT t[u.gi] AS word_a, t[u.gi + 1] AS word_b, count(*)::BIGINT AS pair_count
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(gi)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT word_a, word_b, pair_count,
+           round((pair_count - 5.0) * (SELECT n FROM nn) / (ua.c * ub.c), 6) AS score
+    FROM bi JOIN uni ua ON bi.word_a = ua.w JOIN uni ub ON bi.word_b = ub.w
+    ORDER BY score DESC, word_a, word_b LIMIT 20
+    """,
+)
+def docs_phrase_mining(spark, sf_dir):
+    """Collocation mining (phrases.top_phrases, the word2phrase criterion
+    of Mikolov et al. 2013): top-20 adjacent bigrams by
+    (count(ab) - delta) * N / (count(a) * count(b)) with min_count=5,
+    delta=5. The oracle replays unigram/bigram counts, the discounted
+    score, and the (score desc, a, b) election.
+
+    Scale shape: two map-side-combined corpus groupBys down to
+    vocab-sized relations; the score join keys on words (AQE-splittable,
+    never corpus-sized) with a 1-row N broadcast; top-k is
+    TakeOrderedAndProject."""
+    from shovel_spark.operators.phrases import top_phrases
+
+    d = _t(spark, sf_dir, "documents")
+    return top_phrases(d, top_k=20, min_count=5, delta=5.0)
+
+
 def _bpe_iter_ctes(n_merges: int) -> str:
     """DuckDB CTE replay of bpe_train merge steps (operators/bpe.py): per
     step, adjacent-pair counts over the current symbol tables, the

@@ -100,6 +100,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "docs_dsir_sample",
         "emb_margin_mining",
         "docs_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast
+        "docs_phrase_mining",  # 1-row corpus token total broadcast
     }
     offenders = {}
     for name, fn in e.queries().items():

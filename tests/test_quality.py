@@ -164,6 +164,30 @@ def test_gopher_flags_each_rule(spark):
     assert not got[5].rep_ok and got[5].stop_ok
 
 
+def test_phrase_mining_hand_computed(spark):
+    """top_phrases matches a hand-computed word2phrase score and applies
+    min_count before scoring."""
+    from shovel_spark.operators.phrases import top_phrases
+
+    rows = [
+        (1, "new york new york new york new york new york"),
+        (2, "a new day"),
+        (3, "york a a"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.word_a, r.word_b, r.pair_count, r.score)
+        for r in top_phrases(df, top_k=5, min_count=2, delta=1.0).collect()
+    ]
+    # unigrams: new=6 york=6 a=3 day=1, N=16; bigrams >=2:
+    # (new,york)=5 -> (5-1)*16/36; (york,new)=4 -> (4-1)*16/36
+    assert got == [
+        ("new", "york", 5, round(4 * 16 / 36, 6)),
+        ("york", "new", 4, round(3 * 16 / 36, 6)),
+    ]
+
+
 def test_bm25_topk_hand_computed(spark):
     """bm25_topk matches a hand-computed Okapi BM25 (Lucene idf) on a
     3-doc corpus, counts matched terms, and orders (score desc, id)."""
