@@ -5300,6 +5300,58 @@ def docs_bm25_search(spark, sf_dir):
 
 
 @_register(
+    "docs_nfc_normalize",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, 'e', 'e' || chr(769))
+                  ELSE text END AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM inj)
+    SELECT doc_id, len(t)::BIGINT AS len_raw, len(nt)::BIGINT AS len_nfc,
+           (t != nt) AS changed, md5(nt) AS nfc_md5
+    FROM n ORDER BY doc_id
+    """,
+)
+def docs_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (unicodefn.nfc, Arrow-batched pandas
+    UDF over unicodedata — one of the engine's few deliberate Python
+    paths, since the JVM exposes no NFC builtin): docs with id % 3 == 0
+    get every 'e' decomposed to e + U+0301 in BOTH engines, then both
+    normalize — composed output md5-checked against DuckDB's
+    nfc_normalize (both implement UAX #15), lengths and changed flags
+    replayed exactly.
+
+    Scale shape: map-only projection, no shuffle; Arrow batch transfer
+    (no per-row pickling); composes in front of every content-hash
+    dedup operator, which is the production reason it exists."""
+    from shovel_spark.functions.unicodefn import nfc
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    inj = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n = inj.withColumn("nt", nfc(F.col("t")))
+    return n.select(
+        "doc_id",
+        F.length("t").cast("long").alias("len_raw"),
+        F.length("nt").cast("long").alias("len_nfc"),
+        (F.col("t") != F.col("nt")).alias("changed"),
+        F.md5(F.encode("nt", "UTF-8")).alias("nfc_md5"),
+    )
+
+
+@_register(
     "docs_phrase_mining",
     r"""
     WITH toks AS MATERIALIZED (
