@@ -34,7 +34,12 @@ Training-data / LLM-curation tier (operators/):
 - quality.py            n-gram commonness, TF-IDF terms
 - classify.py           hashed-BoW features + distributed logistic regression
 - sampling.py           hash/quota/stratified/temperature/weighted sampling,
-                        shard packing
+                        shard packing, GPT-style block packing
+- dsir.py               DSIR hashed-ngram importance resampling
+- search.py             inverted-index postings + Okapi BM25 top-k retrieval
+- bpe.py                distributed BPE vocabulary learning + segmentation
+- phrases.py            word2phrase collocation mining
+- functions/unicodefn.py  NFC/NFKC normalization (Arrow UDF) + control strip
 """
 
 __version__ = "0.1.0"
