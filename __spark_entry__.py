@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_bpe_fertility",
     "docs_phrase_mining",
     "docs_nfc_normalize",
+    "docs_tokenize_pack",
     # oracle changed in round 6 — must re-attest
     "events_heavy_hitters_cm",
     # last driver-attested r04 (alphabetical, first 34 of 49)
@@ -82,8 +83,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_resolve_best_quality",
     "docs_subword_tokens",
     "docs_tfidf_terms",
-    "docs_training_corpus",
     # r04-attested spill to round 7 (window full at 50):
+    # docs_training_corpus,
     # emb_hard_negatives, emb_ivf_topk_batch, emb_kmeans_cells, emb_lsh_topk_batch,
     # events_resample_dense, events_value_histogram,
     # events_zorder_stats, funnel_view_click_purchase, grok_log_roundtrip,

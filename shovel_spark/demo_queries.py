@@ -5554,6 +5554,68 @@ def docs_bpe_fertility(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_tokenize_pack",
+    f"""
+    WITH {_BPE_WORDS_CTES},
+    {_bpe_iter_ctes(8)},
+    enc AS (
+      SELECT doc_id, {_bpe_encode_sql(8)} AS toks
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL AND trim(text) != '')
+      WHERE w != ''
+    ),
+    ntok AS (
+      SELECT doc_id, sum(len(toks))::BIGINT AS n_tokens FROM enc GROUP BY 1
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_start
+      FROM ntok
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           tok_start // 256 AS first_block,
+           (tok_start + greatest(n_tokens, 1) - 1) // 256 AS last_block,
+           (tok_start + greatest(n_tokens, 1) - 1) // 256
+             - tok_start // 256 + 1 AS n_blocks
+    FROM c ORDER BY doc_id
+    """,
+)
+def docs_tokenize_pack(spark, sf_dir):
+    """Token-pipeline capstone: learn a BPE vocabulary on the corpus
+    (bpe_train, 8 merges), segment every document with it (bpe_segment,
+    one codegen map projection), then lay the SUBWORD stream into fixed
+    256-token training blocks (sampling.pack_blocks) — the end-to-end
+    learn-vocab -> tokenize -> pack chain an autoregressive pretraining
+    data pipeline runs. The oracle replays all three phases: the merge
+    trajectory, the unrolled chained-replace encoding, and the global
+    offset/block arithmetic (exact integers throughout).
+
+    Scale shape: training iterates on the vocab-sized word table;
+    segmentation is map-only; packing is ONE distributed_cumsum (range
+    exchange + 8-row driver offset table) — no global window, nothing
+    corpus-sized on the driver."""
+    from shovel_spark.operators.bpe import bpe_segment, bpe_train, word_counts
+    from shovel_spark.operators.sampling import pack_blocks
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & (F.trim("text") != "")
+    )
+    merges, _ = bpe_train(spark, word_counts(d), num_merges=8)
+    seg = bpe_segment(d, merges).withColumn(
+        "n_tokens", F.size("bpe_tokens").cast("long")
+    )
+    p = pack_blocks(seg, "n_tokens", block_len=256, num_partitions=8)
+    return p.select(
+        "doc_id", "n_tokens", "tok_start", "first_block", "last_block", "n_blocks"
+    ).orderBy("doc_id")
+
+
 def _lr_iter_ctes(n_iters: int, lr: float = 2.0) -> str:
     """DuckDB CTE replay of logreg_fit iterations (operators/classify.py):
     same op order, same per-iteration 6-dp rounding of weights and bias, so
