@@ -24,7 +24,7 @@ from shovel_spark.demo_queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
 # (2) brand-new round-6 queries; (3) events_heavy_hitters_cm re-attests
 # because its oracle changed this round (sketch-derived total,
 # greatest(1, ...) threshold); (4) the stalest r04-attested queries fill
-# the window (alphabetical; the 15 that don't fit are listed at the end
+# the window (alphabetical; the 25 that don't fit are listed at the end
 # for round 7). The full set is ALSO swept by scripts/check_correctness.py
 # in CI (scripts/run_checks.sh), so the driver window is a sampling
 # optimization, not the only gate.
@@ -58,7 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_tokenize_pack",
     # oracle changed in round 6 — must re-attest
     "events_heavy_hitters_cm",
-    # last driver-attested r04 (alphabetical, first 34 of 49)
+    # last driver-attested r04 (alphabetical, first 24 of 49)
     "cohort_retention_d1_d7",
     "docs_benchmark_contamination",
     "docs_canonical_urls",

@@ -5370,7 +5370,8 @@ def docs_nfc_normalize(spark, sf_dir):
       GROUP BY 1, 2 HAVING count(*) >= 5
     )
     SELECT word_a, word_b, pair_count,
-           round((pair_count - 5.0) * (SELECT n FROM nn) / (ua.c * ub.c), 6) AS score
+           round((pair_count - 5.0) * (SELECT n FROM nn)
+                 / (ua.c::DOUBLE * ub.c), 6) AS score
     FROM bi JOIN uni ua ON bi.word_a = ua.w JOIN uni ub ON bi.word_b = ub.w
     ORDER BY score DESC, word_a, word_b LIMIT 20
     """,
@@ -5527,12 +5528,16 @@ def docs_bpe_fertility(spark, sf_dir):
     lambda), no shuffle beyond the final per-doc aggregate."""
     from shovel_spark.operators.bpe import bpe_segment, bpe_train, word_counts
 
-    d = _t(spark, sf_dir, "documents").filter(
+    d_all = _t(spark, sf_dir, "documents")
+    # train on the SAME corpus the oracle's bpe_words CTE sees (text-only
+    # filter, inside word_counts); the doc_id filter applies only to the
+    # per-doc output side
+    merges, _ = bpe_train(spark, word_counts(d_all), num_merges=8)
+    d = d_all.filter(
         F.col("text").isNotNull()
         & F.col("doc_id").isNotNull()
         & (F.trim("text") != "")
     )
-    merges, _ = bpe_train(spark, word_counts(d), num_merges=8)
     seg = bpe_segment(d, merges)
     n_words = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != ""))
     return (
@@ -5601,12 +5606,15 @@ def docs_tokenize_pack(spark, sf_dir):
     from shovel_spark.operators.bpe import bpe_segment, bpe_train, word_counts
     from shovel_spark.operators.sampling import pack_blocks
 
-    d = _t(spark, sf_dir, "documents").filter(
+    d_all = _t(spark, sf_dir, "documents")
+    # train on the oracle's corpus (text-only filter); doc_id filter is
+    # output-side only — see docs_bpe_fertility
+    merges, _ = bpe_train(spark, word_counts(d_all), num_merges=8)
+    d = d_all.filter(
         F.col("text").isNotNull()
         & F.col("doc_id").isNotNull()
         & (F.trim("text") != "")
     )
-    merges, _ = bpe_train(spark, word_counts(d), num_merges=8)
     seg = bpe_segment(d, merges).withColumn(
         "n_tokens", F.size("bpe_tokens").cast("long")
     )

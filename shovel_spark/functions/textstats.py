@@ -27,6 +27,18 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def adjacent_pairs(arr: Column) -> Column:
+    """array<struct<l, r>> of each adjacent element pair of ``arr`` —
+    the n-gram/bigram idiom shared by BPE pair counting and phrase
+    mining. Empty for arrays of size < 2 (the slice length is floored at
+    0, so empty input is safe under ANSI mode)."""
+    n = F.greatest(F.size(arr) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(arr, 1, n).alias("l"),
+        F.slice(arr, 2, n).alias("r"),
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -51,7 +51,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from shovel_spark.functions.textstats import tokens
+from pyspark.sql import Column
+
+from shovel_spark.functions.textstats import adjacent_pairs, tokens
 
 END_OF_WORD = "</w>"
 
@@ -90,19 +92,26 @@ def word_counts(
     return out
 
 
-def _seq_str(syms_col: str = "syms"):
-    """Separator-joined carrier string for a symbol array (see module doc)."""
-    return F.concat(F.lit(" "), F.array_join(syms_col, "  "), F.lit(" "))
+def _seq_str(syms: Column | str) -> Column:
+    """Separator-joined carrier string for a symbol array (see module
+    doc) — the ONLY place the carrier format is defined; every merge
+    application goes through it."""
+    return F.concat(F.lit(" "), F.array_join(syms, "  "), F.lit(" "))
 
 
-def _merge_once(syms_col, left: str, right: str):
+def _merge_in_carrier(s: Column, left: str, right: str) -> Column:
+    """One greedy merge pass applied to a carrier string."""
+    return F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+
+
+def _from_carrier(s: Column) -> Column:
+    """Carrier string back to the symbol array."""
+    return F.split(F.trim(s), "  ")
+
+
+def _merge_once(syms_col, left: str, right: str) -> Column:
     """Apply one greedy merge pass to a symbol-array column."""
-    merged = F.replace(
-        F.concat(F.lit(" "), F.array_join(syms_col, "  "), F.lit(" ")),
-        F.lit(f" {left}  {right} "),
-        F.lit(f" {left}{right} "),
-    )
-    return F.split(F.trim(merged), "  ")
+    return _from_carrier(_merge_in_carrier(_seq_str(syms_col), left, right))
 
 
 def bpe_train(
@@ -131,18 +140,10 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, num_merges + 1):
-        pairs = (
-            state.select(
-                "cnt",
-                F.expr("slice(syms, 1, size(syms) - 1)").alias("__la"),
-                F.expr("slice(syms, 2, size(syms) - 1)").alias("__ra"),
-            )
-            .select("cnt", F.explode(F.arrays_zip("__la", "__ra")).alias("__p"))
-            .select(
-                F.col("__p.__la").alias("left"),
-                F.col("__p.__ra").alias("right"),
-                "cnt",
-            )
+        pairs = state.select(
+            "cnt", F.explode(adjacent_pairs(F.col("syms"))).alias("__p")
+        ).select(
+            F.col("__p.l").alias("left"), F.col("__p.r").alias("right"), "cnt"
         )
         best = (
             pairs.groupBy("left", "right")
@@ -195,14 +196,10 @@ def bpe_segment(
         chars = F.when(
             F.lit(ascii_only) & ~w.rlike(r"^[ -~]+$"), F.array(w)
         ).otherwise(F.split(w, ""))
-        s = F.concat(
-            F.lit(" "),
-            F.array_join(F.concat(chars, F.array(F.lit(END_OF_WORD))), "  "),
-            F.lit(" "),
-        )
+        s = _seq_str(F.concat(chars, F.array(F.lit(END_OF_WORD))))
         for left, right in ordered:
-            s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
-        return F.split(F.trim(s), "  ")
+            s = _merge_in_carrier(s, left, right)
+        return _from_carrier(s)
 
     toks = F.filter(tokens(F.col(text_col)), lambda w: w != "")
     return df.withColumn(out_col, F.flatten(F.transform(toks, seg_word)))

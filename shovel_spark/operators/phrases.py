@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shovel_spark.functions.textstats import tokens
+from shovel_spark.functions.textstats import adjacent_pairs, tokens
 
 
 def _tok(df: DataFrame, text_col: str) -> DataFrame:
@@ -56,12 +56,8 @@ def phrase_scores(
     )
     n_row = uni.agg(F.sum("c").alias("__n"))
     bi = (
-        toks.select(
-            F.expr("slice(__t, 1, size(__t) - 1)").alias("__a"),
-            F.expr("slice(__t, 2, size(__t) - 1)").alias("__b"),
-        )
-        .select(F.explode(F.arrays_zip("__a", "__b")).alias("__p"))
-        .select(F.col("__p.__a").alias("word_a"), F.col("__p.__b").alias("word_b"))
+        toks.select(F.explode(adjacent_pairs(F.col("__t"))).alias("__p"))
+        .select(F.col("__p.l").alias("word_a"), F.col("__p.r").alias("word_b"))
         .groupBy("word_a", "word_b")
         .agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
@@ -71,10 +67,13 @@ def phrase_scores(
         .join(uni.withColumnRenamed("w", "word_b").withColumnRenamed("c", "__cb"), "word_b")
         .join(F.broadcast(n_row))
     )
+    # __ca cast to double BEFORE the product: long*long overflows (ANSI
+    # throws) once two frequent words each pass ~3e9 occurrences; the
+    # double product is exact for counts < 2^53 and feeds a float anyway
     score = (
         (F.col("pair_count") - F.lit(delta))
         * F.col("__n")
-        / (F.col("__ca") * F.col("__cb"))
+        / (F.col("__ca").cast("double") * F.col("__cb"))
     )
     if round_score is not None:
         score = F.round(score, round_score)
