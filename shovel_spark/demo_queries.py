@@ -1531,6 +1531,76 @@ def events_hll_users(spark, sf_dir):
 
 
 @_register(
+    "events_hll_sharded_union",
+    """
+    WITH hashed AS (
+      SELECT user_id % 2 AS shard,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    rho AS (
+      SELECT shard, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE strpos(reverse(bin(h // 64)), '1') END AS r
+      FROM hashed
+    ),
+    shard_regs AS (SELECT shard, bucket, max(r) AS reg FROM rho GROUP BY 1, 2),
+    merged AS (SELECT bucket, max(reg) AS reg FROM shard_regs GROUP BY 1),
+    fr AS (
+      SELECT t.b AS bucket, coalesce(merged.reg, 0) AS reg
+      FROM range(0, 64) t(b) LEFT JOIN merged ON merged.bucket = t.b
+    ),
+    agg AS (
+      SELECT count(*) AS m,
+             sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS nonzero,
+             0.709 * 4096.0 / sum(power(2.0, -reg)) AS raw
+      FROM fr
+    ),
+    summary AS (
+      SELECT CASE WHEN raw <= 160.0 AND m - nonzero > 0
+                  THEN round(64.0 * ln(64.0 / (m - nonzero)), 4)
+                  ELSE round(raw, 4) END AS est,
+             (SELECT count(DISTINCT user_id) FROM events) AS exact
+      FROM agg
+    )
+    SELECT f.bucket, f.reg, s.est, s.exact
+    FROM fr f CROSS JOIN summary s
+    ORDER BY f.bucket
+    """,
+)
+def events_hll_sharded_union(spark, sf_dir):
+    """Cross-shard sketch union (sketches.hll_merge): the events stream is
+    split into two shards by user parity, each shard builds its own
+    64-register HLL with NO coordination, and the two register tables are
+    merged by per-bucket max — HLL's defining lossless-union property.
+    The oracle replays both shard register sets AND the max-merge
+    bit-for-bit, then the corrected estimate; `exact` is the whole-stream
+    distinct for contrast.
+
+    Scale shape: this is WHY sketches exist at 100 TB — per-partition /
+    per-day sketches built independently, then a union over shards*64
+    rows instead of a rescan. The merge shuffles at most 128 rows."""
+    from shovel_spark.operators.sketches import hll_build, hll_cardinality, hll_merge
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id")
+    shard_a = hll_build(base.filter(F.col("user_id") % 2 == 0), "user_id", b=6)
+    shard_b = hll_build(base.filter(F.col("user_id") % 2 == 1), "user_id", b=6)
+    regs = hll_merge(shard_a, shard_b)
+    summary = hll_cardinality(regs, b=6, spark=spark).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact"))
+    ).select(F.round("est", 4).alias("est"), "exact")
+    full = (
+        spark.range(64).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    return full.crossJoin(F.broadcast(summary)).select(
+        "bucket", "reg", "est", "exact"
+    ).orderBy("bucket")
+
+
+@_register(
     "events_bloom_signup_filter",
     """
     WITH su AS (

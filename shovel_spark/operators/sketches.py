@@ -218,6 +218,66 @@ def hll_cardinality(registers: DataFrame, b: int = 6, spark=None) -> DataFrame:
     return agg.select("m", "nonzero", est.alias("est"))
 
 
+# --- Cross-shard sketch merging ---------------------------------------------
+#
+# The production reason sketches exist at 100 TB: build per shard /
+# per day / per partition-subtree WITHOUT coordination, then union the
+# tiny sketch tables instead of rescanning data. All three sketches here
+# merge losslessly: HLL registers by max (merge(build(A), build(B)) ==
+# build(A ∪ B), HLL's defining property), count-min cells by sum (the
+# sketch is linear), Bloom bit arrays by bitwise OR.
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Union per-shard (bucket, reg) HLL register sets: max per bucket.
+    The result is exactly the register set a single build over the
+    concatenated shards would produce; feed to hll_cardinality as usual.
+    Cost: shuffles at most shards * m rows — never data-sized."""
+    if not register_sets:
+        raise ValueError("hll_merge needs at least one register set")
+    out = register_sets[0].select("bucket", "reg")
+    for r in register_sets[1:]:
+        out = out.unionByName(r.select("bucket", "reg"))
+    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def cm_merge(*cell_sets: DataFrame) -> DataFrame:
+    """Union per-shard (row, bucket, c) count-min cell tables: sum per
+    cell (count-min is linear). Shards must share depth/width — cells
+    are positional. At most shards * depth * width rows shuffle."""
+    if not cell_sets:
+        raise ValueError("cm_merge needs at least one cell set")
+    out = cell_sets[0].select("row", "bucket", "c")
+    for r in cell_sets[1:]:
+        out = out.unionByName(r.select("row", "bucket", "c"))
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two one-row Bloom filters (bloom_build's (__m_bits, __k,
+    bits) shape, preserved so the merged row is a drop-in for
+    bloom_filter): bitwise OR of the bit arrays. Raises if the filters
+    were built with different (m_bits, k) — the bit positions would not
+    be comparable. The parameter check reads one metadata row per side
+    (bounded, same class as bloom_build's own metadata collect)."""
+    pa = a.select("__m_bits", "__k").first()
+    pb = b.select("__m_bits", "__k").first()
+    if (pa["__m_bits"], pa["__k"]) != (pb["__m_bits"], pb["__k"]):
+        raise ValueError(
+            f"bloom_merge parameter mismatch: ({pa[0]}, {pa[1]}) vs "
+            f"({pb[0]}, {pb[1]})"
+        )
+    return (
+        a.select(F.col("bits").alias("__ba"), "__m_bits", "__k")
+        .crossJoin(b.select(F.col("bits").alias("__bb")))
+        .select(
+            "__m_bits",
+            "__k",
+            F.zip_with("__ba", "__bb", lambda x, y: x.bitwiseOR(y)).alias("bits"),
+        )
+    )
+
+
 # --- Bloom filter -----------------------------------------------------------
 
 

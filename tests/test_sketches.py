@@ -3,6 +3,7 @@ cell-wise mergeability."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from shovel_spark.operators.sketches import (
@@ -214,3 +215,54 @@ def test_hll_null_keys_excluded_grouped_and_plain(spark):
     assert abs(est["g1"] - 20) < 6
     plain = hll_build(df.filter(F.col("g") == "g1"), "k", b=6)
     assert plain.filter(F.col("bucket").isNull()).count() == 0
+
+
+def test_sketch_merges_equal_whole_build(spark):
+    """hll_merge / cm_merge / bloom_merge of two disjoint shards produce
+    exactly the sketch a single build over the union would — the
+    lossless-union property the cross-shard path depends on."""
+    from shovel_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        cm_merge,
+        count_min_build,
+        hll_build,
+        hll_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(500)], "k string"
+    ).withColumn("id", F.monotonically_increasing_id())
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+
+    whole = {r.bucket: r.reg for r in hll_build(df, "k", b=6).collect()}
+    merged = {r.bucket: r.reg for r in hll_merge(hll_build(a, "k", b=6), hll_build(b, "k", b=6)).collect()}
+    assert merged == whole
+
+    wc = {(r.row, r.bucket): r.c for r in count_min_build(df, "k", depth=3, width=32).collect()}
+    mc = {
+        (r.row, r.bucket): r.c
+        for r in cm_merge(
+            count_min_build(a, "k", depth=3, width=32),
+            count_min_build(b, "k", depth=3, width=32),
+        ).collect()
+    }
+    assert mc == wc
+
+    wb = bloom_build(df, "k", m_bits=1024, k=3).first()
+    mb = bloom_merge(
+        bloom_build(a, "k", m_bits=1024, k=3),
+        bloom_build(b, "k", m_bits=1024, k=3),
+    ).first()
+    assert list(mb.bits) == list(wb.bits)
+    assert mb["__m_bits"] == 1024 and mb["__k"] == 3
+
+
+def test_bloom_merge_rejects_mismatched_params(spark):
+    from shovel_spark.operators.sketches import bloom_build, bloom_merge
+
+    df = spark.createDataFrame([("x",)], "k string")
+    fa = bloom_build(df, "k", m_bits=1024, k=3)
+    fb = bloom_build(df, "k", m_bits=2048, k=3)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bloom_merge(fa, fb)
