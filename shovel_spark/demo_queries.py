@@ -1601,6 +1601,81 @@ def events_hll_sharded_union(spark, sf_dir):
 
 
 @_register(
+    "events_value_qhist",
+    """
+    WITH iv AS (
+      SELECT user_id % 2 AS shard,
+             greatest(CAST(floor(value * 16) AS BIGINT), 0) AS iv
+      FROM events WHERE value IS NOT NULL
+    ),
+    bk AS (
+      SELECT shard,
+             CASE WHEN iv < 32 THEN iv
+                  ELSE (length(bin(iv)) - 1 - 5) * 32
+                       + CAST(floor(iv / power(2.0, length(bin(iv)) - 1 - 5)) AS BIGINT)
+             END AS bucket
+      FROM iv
+    ),
+    shard_hist AS (SELECT shard, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+    hist AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM shard_hist GROUP BY 1),
+    cum AS (
+      SELECT bucket,
+             CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    hit AS (
+      SELECT q, min(bucket) AS bucket, min(total) AS total
+      FROM qs CROSS JOIN cum
+      WHERE cum >= ceil(q * total)
+      GROUP BY q
+    )
+    SELECT q, bucket,
+           CASE WHEN bucket < 32 THEN CAST(bucket AS DOUBLE)
+                ELSE (bucket - (CAST(floor(bucket / 32.0) AS BIGINT) - 1) * 32)
+                     * power(2.0, CAST(floor(bucket / 32.0) AS BIGINT) - 1)
+           END / 16.0 AS est,
+           total
+    FROM hit
+    ORDER BY q
+    """,
+)
+def events_value_qhist(spark, sf_dir):
+    """Mergeable quantile histogram (sketches.qhist_*): the fourth
+    mergeable summary alongside CM/HLL/Bloom. Two shards (user parity)
+    each build an HDR-style log-bucket histogram of event values with NO
+    coordination; the merge sums bucket counts (the histogram is linear,
+    so merge == whole-build exactly); p50/p90/p99 are answered from the
+    cumulative bucket counts with relative error <= 2^-5. The oracle
+    replays the integer bucket arithmetic (floor(v*16) quantization,
+    length(bin(iv))-1 exponent, octave sub-bucketing), the shard merge,
+    the cumulative election, and the lower-bound inversion bit-for-bit.
+
+    Scale shape: state bounded at (52-s)*2^s buckets regardless of data
+    or skew (map-side combine folds hot values); shards merge over
+    sketch-sized tables instead of rescanning; the only window runs over
+    the <= 1.5k-row histogram, never the data."""
+    from shovel_spark.operators.sketches import (
+        qhist_build,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    shard_a = qhist_build(ev.filter(F.col("user_id") % 2 == 0), "value")
+    shard_b = qhist_build(ev.filter(F.col("user_id") % 2 == 1), "value")
+    merged = qhist_merge(shard_a, shard_b).localCheckpoint()
+    total = merged.agg(F.sum("c").cast("long").alias("total"))
+    return (
+        qhist_quantiles(merged, [0.5, 0.9, 0.99])
+        .crossJoin(F.broadcast(total))
+        .select("q", "bucket", "est", "total")
+        .orderBy("q")
+    )
+
+
+@_register(
     "events_bloom_signup_filter",
     """
     WITH su AS (

@@ -278,6 +278,121 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+# --- Mergeable log-bucket quantile histogram (HDR-style) --------------------
+#
+# The fourth mergeable summary: quantiles. Exact percentiles need a global
+# sort; approx_percentile's internal sketch is not replayable by an external
+# engine. This histogram is: values are quantized to integers (floor(v *
+# scale)) and assigned to HDR-style log buckets — exact below 2^s, then
+# 2^s sub-buckets per octave — so the bucket index is pure integer
+# arithmetic both engines reproduce bit-for-bit. State is bounded at
+# (52 - s) * 2^s buckets regardless of data size, shards merge by summing
+# counts (the histogram is linear, like count-min), and any quantile is
+# answered from the cumulative bucket counts with relative error <= 2^-s
+# (plus the 1/scale quantization floor).
+
+
+def _qhist_exponent(iv: Column) -> Column:
+    """floor(log2(iv)) for positive iv via the binary-string length —
+    ``length(bin(iv)) - 1``. Both Spark and DuckDB strip leading zeros
+    from bin(), so this is engine-neutral integer bit-work, no float
+    log anywhere."""
+    return (F.length(F.bin(iv)) - 1).cast("long")
+
+
+def qhist_bucket(value: Column, scale: int = 16, s: int = 5) -> Column:
+    """HDR bucket index of a non-negative value. iv = floor(value*scale)
+    clamped at 0 (IEEE double multiply + floor — deterministic across
+    engines); buckets 0..2^s-1 hold iv exactly, above that each octave e
+    splits into 2^s sub-buckets: idx = (e-s)*2^s + (iv >> (e-s)).
+    The shift is floor(iv / 2^(e-s)) — exact for iv < 2^52, i.e. values
+    up to 2^52/scale, far beyond any telemetry magnitude."""
+    iv = F.greatest(
+        F.floor(value * F.lit(float(scale))).cast("long"), F.lit(0).cast("long")
+    )
+    e = _qhist_exponent(iv)
+    shifted = F.floor(
+        iv / F.pow(F.lit(2.0), (e - F.lit(s)).cast("double"))
+    ).cast("long")
+    return F.when(iv < F.lit(1 << s), iv).otherwise(
+        (e - F.lit(s)) * F.lit(1 << s) + shifted
+    )
+
+
+def qhist_lower(bucket: Column, scale: int = 16, s: int = 5) -> Column:
+    """Lower bound (in VALUE units) of a bucket — the quantile estimate
+    returned for any rank that lands in it. Inverts qhist_bucket: below
+    2^s the bucket IS the integer; above, g = (bucket >> s) - 1 octave
+    shifts were applied, so lo = (bucket - g*2^s) * 2^g. The product
+    stays under 2^52 (g <= 52-s by construction), exact as a double."""
+    g = (F.floor(bucket / F.lit(float(1 << s)))).cast("long") - F.lit(1)
+    rem = bucket - g * F.lit(1 << s)
+    lo = F.when(
+        bucket < F.lit(1 << s), bucket.cast("double")
+    ).otherwise(rem.cast("double") * F.pow(F.lit(2.0), g.cast("double")))
+    return lo / F.lit(float(scale))
+
+
+def qhist_build(
+    df: DataFrame, value_col: str, scale: int = 16, s: int = 5
+) -> DataFrame:
+    """(bucket, c) histogram rows — one map-side-combinable groupBy;
+    the shuffle carries at most (52-s)*2^s partial cells per task no
+    matter how the values are distributed (the histogram is its own
+    skew defense, same as count-min). NULLs are excluded."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(qhist_bucket(F.col(value_col), scale, s).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def qhist_merge(*hists: DataFrame) -> DataFrame:
+    """Union per-shard (bucket, c) histograms: sum per bucket — the
+    histogram is linear, so merge(build(A), build(B)) == build(A ∪ B)
+    exactly. At most shards * n_buckets rows shuffle."""
+    if not hists:
+        raise ValueError("qhist_merge needs at least one histogram")
+    out = hists[0].select("bucket", "c")
+    for h in hists[1:]:
+        out = out.unionByName(h.select("bucket", "c"))
+    return out.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
+def qhist_quantiles(
+    hist: DataFrame, qs: list[float], scale: int = 16, s: int = 5
+) -> DataFrame:
+    """(q, bucket, est) for each requested quantile: the smallest bucket
+    whose cumulative count reaches ceil(q * total), with est = that
+    bucket's lower value bound. The cumulative window runs over the
+    HISTOGRAM — sketch-sized, bounded rows — so the single-partition
+    WindowExec is over <= (52-s)*2^s rows, never data-sized."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    cum = hist.select(
+        "bucket",
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        F.broadcast(qdf)
+        .crossJoin(cum)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(
+        "q", "bucket", qhist_lower(F.col("bucket"), scale, s).alias("est")
+    )
+
+
 # --- Bloom filter -----------------------------------------------------------
 
 

@@ -266,3 +266,63 @@ def test_bloom_merge_rejects_mismatched_params(spark):
     fb = bloom_build(df, "k", m_bits=2048, k=3)
     with pytest.raises(ValueError, match="parameter mismatch"):
         bloom_merge(fa, fb)
+
+
+def test_qhist_bucket_golden_and_inversion(spark):
+    """Hand-computed HDR bucket indices at scale=16, s=5, and the
+    lower-bound inversion: exact range below 2^5, then (e-5)*32 +
+    (iv >> (e-5)) per octave; lower bound reproduces iv truncated to
+    its top 6 bits, divided back by the scale."""
+    from shovel_spark.operators.sketches import qhist_bucket, qhist_lower
+
+    # (value, expected bucket): iv = floor(v*16)
+    cases = [
+        (0.0, 0),        # iv=0
+        (1.0, 16),       # iv=16 < 32 -> exact
+        (1.9375, 31),    # iv=31, last exact bucket
+        (2.0, 32),       # iv=32, e=5 -> (0)*32 + 32
+        (4.0, 64),       # iv=64, e=6 -> 32 + 32
+        (4.125, 65),     # iv=66, e=6 -> 32 + 33
+        (-3.0, 0),       # clamped
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v double")
+    got = [
+        r.b
+        for r in df.select(qhist_bucket(F.col("v")).alias("b")).collect()
+    ]
+    assert got == [b for _, b in cases]
+    # inversion: lower bound of bucket 65 is (iv=66 -> top bits 66>>1<<1=66)/16
+    lo = (
+        spark.createDataFrame([(65,), (31,), (0,)], "bucket long")
+        .select(qhist_lower(F.col("bucket")).alias("lo"))
+        .collect()
+    )
+    assert [r.lo for r in lo] == [66 / 16, 31 / 16, 0.0]
+
+
+def test_qhist_merge_equals_whole_and_quantile_bound(spark):
+    """Shard-merge equals the whole-corpus build cell-for-cell, and the
+    p50/p90/p99 answers stay within the 2^-s relative bound (plus the
+    1/scale quantization floor) of true inverted-CDF quantiles."""
+    from shovel_spark.operators.sketches import (
+        qhist_build,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    vals = [((i * 37) % 1000) / 3.0 + 0.5 for i in range(4000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    whole = {r.bucket: r.c for r in qhist_build(df, "v").collect()}
+    merged_df = qhist_merge(qhist_build(a, "v"), qhist_build(b, "v"))
+    merged = {r.bucket: r.c for r in merged_df.collect()}
+    assert merged == whole
+
+    import math
+
+    sv = sorted(vals)
+    for r in qhist_quantiles(merged_df, [0.5, 0.9, 0.99]).collect():
+        true = sv[math.ceil(r.q * len(sv)) - 1]
+        assert abs(r.est - true) <= true * 2**-5 + 1 / 16 + 1e-9, (r.q, r.est, true)
