@@ -1601,6 +1601,87 @@ def events_hll_sharded_union(spark, sf_dir):
 
 
 @_register(
+    "events_type_drift",
+    """
+    WITH a AS (
+      SELECT event_type AS bucket, count(*) AS n_a
+      FROM events WHERE value < 50 GROUP BY 1
+    ),
+    b AS (
+      SELECT event_type AS bucket, count(*) AS n_b
+      FROM events WHERE value >= 50 GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             coalesce(n_a, 0) / (SELECT sum(n_a) FROM a) AS share_a,
+             coalesce(n_b, 0) / (SELECT sum(n_b) FROM b) AS share_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ),
+    terms AS (
+      SELECT bucket, n_a, n_b, share_a, share_b,
+             (greatest(share_a, 1e-6) - greatest(share_b, 1e-6))
+               * ln(greatest(share_a, 1e-6) / greatest(share_b, 1e-6)) AS psi_term,
+             0.5 * greatest(share_a, 1e-6)
+               * ln(greatest(share_a, 1e-6)
+                    / ((greatest(share_a, 1e-6) + greatest(share_b, 1e-6)) / 2))
+             + 0.5 * greatest(share_b, 1e-6)
+               * ln(greatest(share_b, 1e-6)
+                    / ((greatest(share_a, 1e-6) + greatest(share_b, 1e-6)) / 2))
+               AS js_term
+      FROM j
+    )
+    SELECT bucket, n_a, n_b,
+           round(share_a, 8) AS share_a, round(share_b, 8) AS share_b,
+           round(psi_term, 8) AS psi_term, round(js_term, 8) AS js_term,
+           round((SELECT sum(psi_term) FROM terms), 8) AS psi,
+           round((SELECT sum(js_term) FROM terms), 8) AS js
+    FROM terms
+    ORDER BY bucket
+    """,
+)
+def events_type_drift(spark, sf_dir):
+    """Corpus drift detection (operators/drift.py): the event-type
+    distribution of low-value events (baseline) vs high-value events
+    (candidate), scored per bucket with PSI terms and Jensen-Shannon
+    terms plus the summed alarm scores — the "did today's crawl shift?"
+    monitor a long-running ingest pipeline runs between snapshots.
+    The oracle replays shares (integer/integer IEEE division), the eps
+    floor, both ln-based terms, and the totals; everything rounds at 8
+    decimals only because ln() may differ in the last ulp across engines.
+
+    Scale shape: one bounded groupBy per side (bucket cardinality, never
+    raw keys), a bucket-sized full-outer join, broadcast totals — nothing
+    data-sized survives the first aggregation."""
+    from shovel_spark.operators.drift import drift_scores, drift_table
+
+    ev = _t(spark, sf_dir, "events")
+    table = drift_table(
+        ev.filter(F.col("value") < 50),
+        ev.filter(F.col("value") >= 50),
+        "event_type",
+    ).localCheckpoint()
+    totals = drift_scores(table).select(
+        F.round("psi", 8).alias("psi"), F.round("js", 8).alias("js")
+    )
+    return (
+        table.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round("share_a", 8).alias("share_a"),
+            F.round("share_b", 8).alias("share_b"),
+            F.round("psi_term", 8).alias("psi_term"),
+            F.round("js_term", 8).alias("js_term"),
+            "psi",
+            "js",
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
     "events_value_qhist",
     """
     WITH iv AS (
