@@ -4892,6 +4892,100 @@ def docs_benchmark_contamination(spark, sf_dir):
 
 
 @_register(
+    "docs_bloom_decontamination",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 400000,
+             text || ' ' || (SELECT text FROM documents WHERE doc_id = 3)
+      FROM documents WHERE doc_id >= 20 AND doc_id < 25
+    ),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    c_sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus)
+    ),
+    b_sh AS MATERIALIZED (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM bench)
+      )
+    ),
+    setpos AS (
+      SELECT ('0x' || substr(md5('bf' || i || ':' || shingle), 1, 8))::BIGINT
+               % 65536 AS pos
+      FROM b_sh, range(0, 4) t(i)
+    ),
+    words AS MATERIALIZED (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(power(2, pos % 32) AS BIGINT)) AS w
+      FROM setpos GROUP BY 1
+    ),
+    pr AS (
+      SELECT doc_id, shingle,
+             ('0x' || substr(md5('bf' || i || ':' || shingle), 1, 8))::BIGINT
+               % 65536 AS pos
+      FROM c_sh, range(0, 4) t(i)
+    ),
+    hit AS (
+      SELECT doc_id, shingle,
+             sum(CASE WHEN w.w IS NOT NULL
+                       AND (w.w & CAST(power(2, pos % 32) AS BIGINT)) != 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM pr LEFT JOIN words w ON w.word = pos // 32
+      GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (SELECT doc_id, shingle FROM hit WHERE nh = 4),
+    cc AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS candidate_shingles
+      FROM cand GROUP BY 1
+    ),
+    ec AS (
+      SELECT cand.doc_id,
+             CAST(count(DISTINCT cand.shingle) AS BIGINT) AS exact_shingles
+      FROM cand JOIN b_sh ON cand.shingle = b_sh.shingle
+      GROUP BY 1
+    )
+    SELECT cc.doc_id, candidate_shingles,
+           coalesce(exact_shingles, 0) AS exact_shingles,
+           coalesce(exact_shingles, 0) >= 3 AS contaminated
+    FROM cc LEFT JOIN ec ON cc.doc_id = ec.doc_id
+    ORDER BY cc.doc_id
+    """,
+)
+def docs_bloom_decontamination(spark, sf_dir):
+    """Two-tier Bloom decontamination (dedup.bloom_decontaminate): same
+    eval/corpus split and planted contamination as
+    docs_benchmark_contamination, but tier 1 compresses the benchmark's
+    shingle set into a 65536-bit broadcast Bloom filter probed map-side
+    (the shape that still works when the eval suite's shingle set is too
+    large to broadcast exactly), and tier 2's exact semi-join settles the
+    false-positive trickle over shortlisted shingles only. The oracle
+    rebuilds the bit array, replays all four probes per shingle, the
+    shortlist, and both count tiers; rows with exact < candidate are the
+    absorbed false positives, and the contaminated flags must agree with
+    the exact path's verdicts."""
+    from shovel_spark.operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 20)
+    clean = d.filter(F.col("doc_id") >= 20)
+    contaminated = (
+        clean.filter(F.col("doc_id") < 25)
+        .withColumn("doc_id", F.col("doc_id") + 400000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _doc_text(d, 3))))
+    )
+    corpus = clean.unionByName(contaminated)
+    return bloom_decontaminate(corpus, bench, min_overlap=3).orderBy("doc_id")
+
+
+@_register(
     "docs_redact_pii",
     r"""
     WITH seeded AS (

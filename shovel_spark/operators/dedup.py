@@ -189,6 +189,66 @@ def contamination_overlap(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 65536,
+    bloom_k: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Two-tier benchmark decontamination for when the eval suite is too
+    large to broadcast as an exact shingle set: tier 1 compresses the
+    benchmark's distinct k-word shingles into an ``m_bits``-bit Bloom
+    filter (fixed state however many eval docs) and probes every corpus
+    shingle MAP-SIDE — no false negatives, so no contaminated doc can
+    slip past; tier 2 settles the Bloom's false-positive trickle with an
+    exact shingle semi-join that only ever touches the (tiny) shortlisted
+    candidate shingles, not the whole corpus.
+
+    Returns (id, candidate_shingles, exact_shingles, contaminated) for
+    every doc the Bloom shortlists: candidate_shingles counts tier-1
+    probe hits, exact_shingles the true benchmark overlaps among them,
+    contaminated = exact_shingles >= min_overlap. Rows where
+    exact_shingles < candidate_shingles show the absorbed false
+    positives — the cost knob m_bits trades their volume against state.
+
+    Shape at 100 TB: tier 1 is one broadcast row + a map-only filter over
+    the corpus shingle stream (contamination_overlap's broadcast of the
+    raw shingle set stops fitting somewhere in the millions of eval
+    shingles; the Bloom never grows); tier 2's shuffle carries only
+    shortlisted shingles."""
+    from shovel_spark.operators.sketches import bloom_build, bloom_filter
+
+    b_sh = (
+        shingle_table(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=bloom_k)
+    c_sh = shingle_table(corpus, text_col, id_col, k)
+    cand = bloom_filter(c_sh, bloom, "shingle", m_bits=m_bits, k=bloom_k)
+    cand_counts = cand.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("candidate_shingles")
+    )
+    exact_counts = (
+        cand.join(b_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("exact_shingles"))
+    )
+    return (
+        cand_counts.join(exact_counts, id_col, "left")
+        .select(
+            id_col,
+            "candidate_shingles",
+            F.coalesce("exact_shingles", F.lit(0)).alias("exact_shingles"),
+        )
+        .withColumn("contaminated", F.col("exact_shingles") >= min_overlap)
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def ngram_jaccard_pairs(

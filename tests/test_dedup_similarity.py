@@ -997,3 +997,66 @@ def test_margin_mine_mutual_best_and_hub_suppression(spark):
     cand = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
     fenced = margin_mine(a, b, k=2, threshold=0.999, candidates=cand).collect()
     assert [(r.a_id, r.b_id, r.margin) for r in fenced] == [(0, 1, 1.0)]
+
+
+def test_bloom_decontaminate_two_tier(spark):
+    """Tier 1 (Bloom shortlist) can never miss a contaminated doc — no
+    false negatives — and tier 2's exact counts agree with the direct
+    broadcast path (contamination_overlap) on every verdict; candidate
+    counts bound exact counts from above (false positives absorbed)."""
+    from shovel_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "completely unrelated words about spark partitions here"),
+            (11, "prefix text then the quick brown fox jumps over the lazy dog tonight"),
+            (12, "quick brown fox appears but nothing else matches at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in bloom_decontaminate(
+            corpus, bench, m_bits=4096, min_overlap=3
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.overlap
+        for r in contamination_overlap(corpus, bench, min_overlap=1).collect()
+    }
+    # every doc with ANY true overlap must be shortlisted (no false negatives)
+    assert set(exact) <= set(got)
+    for doc_id, row in got.items():
+        assert row.exact_shingles == exact.get(doc_id, 0)
+        assert row.candidate_shingles >= row.exact_shingles
+        assert row.contaminated == (row.exact_shingles >= 3)
+    assert got[11].contaminated and not got.get(12, got[11]).contaminated
+
+
+def test_bloom_decontaminate_tiny_filter_absorbs_false_positives(spark):
+    """A deliberately saturated 64-bit filter floods tier 1 with false
+    positives; tier 2 still reports exact_shingles == the true overlap
+    (0 for the clean doc) — the correctness story does not depend on
+    the filter's size, only the cost does."""
+    from shovel_spark.operators.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "totally different tokens one two three four five six")],
+        "doc_id long, text string",
+    )
+    rows = bloom_decontaminate(
+        corpus, bench, m_bits=64, bloom_k=2, min_overlap=1
+    ).collect()
+    for r in rows:
+        assert r.exact_shingles == 0 and not r.contaminated
