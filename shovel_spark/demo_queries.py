@@ -1536,7 +1536,7 @@ def events_hll_users(spark, sf_dir):
     WITH hashed AS (
       SELECT user_id % 2 AS shard,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM (SELECT DISTINCT user_id FROM events)
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
     ),
     rho AS (
       SELECT shard, h % 64 AS bucket,
@@ -1583,9 +1583,12 @@ def events_hll_sharded_union(spark, sf_dir):
     from shovel_spark.operators.sketches import hll_build, hll_cardinality, hll_merge
 
     ev = _t(spark, sf_dir, "events")
-    base = ev.select("user_id")
+    # != 0 (not == 1) so negative odd ids land in shard b, and an explicit
+    # NOT NULL so both engines agree that null users are in NO shard —
+    # the parity filters must be exhaustive over the rows the oracle keeps
+    base = ev.select("user_id").filter(F.col("user_id").isNotNull())
     shard_a = hll_build(base.filter(F.col("user_id") % 2 == 0), "user_id", b=6)
-    shard_b = hll_build(base.filter(F.col("user_id") % 2 == 1), "user_id", b=6)
+    shard_b = hll_build(base.filter(F.col("user_id") % 2 != 0), "user_id", b=6)
     regs = hll_merge(shard_a, shard_b)
     summary = hll_cardinality(regs, b=6, spark=spark).crossJoin(
         ev.agg(F.countDistinct("user_id").alias("exact"))
@@ -1687,7 +1690,7 @@ def events_type_drift(spark, sf_dir):
     WITH iv AS (
       SELECT user_id % 2 AS shard,
              greatest(CAST(floor(value * 16) AS BIGINT), 0) AS iv
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
     ),
     bk AS (
       SELECT shard,
@@ -1743,9 +1746,15 @@ def events_value_qhist(spark, sf_dir):
         qhist_quantiles,
     )
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    # same exhaustive-shard rule as events_hll_sharded_union: != 0 for
+    # negative odd ids, explicit NOT NULL mirrored in the oracle
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("user_id").isNotNull())
+    )
     shard_a = qhist_build(ev.filter(F.col("user_id") % 2 == 0), "value")
-    shard_b = qhist_build(ev.filter(F.col("user_id") % 2 == 1), "value")
+    shard_b = qhist_build(ev.filter(F.col("user_id") % 2 != 0), "value")
     merged = qhist_merge(shard_a, shard_b).localCheckpoint()
     total = merged.agg(F.sum("c").cast("long").alias("total"))
     return (

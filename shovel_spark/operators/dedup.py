@@ -222,14 +222,22 @@ def bloom_decontaminate(
     shortlisted shingles."""
     from shovel_spark.operators.sketches import bloom_build, bloom_filter
 
+    # both b_sh (bloom build + tier-2 join) and cand (two count branches)
+    # are consumed twice; without materialization Spark re-evaluates the
+    # whole upstream subtree per consumer — i.e. TWO corpus shingling
+    # passes, defeating the one-pass claim. localCheckpoint pins them:
+    # b_sh is the benchmark shingle set, cand only the shortlisted rows.
     b_sh = (
         shingle_table(benchmark, text_col, id_col, k)
         .select("shingle")
         .distinct()
+        .localCheckpoint()
     )
     bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=bloom_k)
     c_sh = shingle_table(corpus, text_col, id_col, k)
-    cand = bloom_filter(c_sh, bloom, "shingle", m_bits=m_bits, k=bloom_k)
+    cand = bloom_filter(
+        c_sh, bloom, "shingle", m_bits=m_bits, k=bloom_k
+    ).localCheckpoint()
     cand_counts = cand.groupBy(id_col).agg(
         F.count_distinct("shingle").alias("candidate_shingles")
     )

@@ -228,29 +228,88 @@ def hll_cardinality(registers: DataFrame, b: int = 6, spark=None) -> DataFrame:
 # sketch is linear), Bloom bit arrays by bitwise OR.
 
 
-def hll_merge(*register_sets: DataFrame) -> DataFrame:
+def _merge_sketch_tables(frames, key_cols: list[str], agg) -> DataFrame:
+    """Shared variadic merge fold: union the per-shard sketch tables and
+    re-aggregate per key. Every mergeable sketch here is this pattern,
+    only the key columns and the aggregate differ."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("sketch merge needs at least one input")
+    cols = [*key_cols, agg.alias_name]
+    out = frames[0].select(*cols)
+    for f in frames[1:]:
+        out = out.unionByName(f.select(*cols))
+    return out.groupBy(*key_cols).agg(agg.expr.alias(agg.alias_name))
+
+
+class _MergeAgg:
+    def __init__(self, expr: Column, alias_name: str):
+        self.expr, self.alias_name = expr, alias_name
+
+
+def _guard_bucket_bound(df: DataFrame, col: str, bound: int, what: str) -> DataFrame:
+    """Fail the merge job if any positional index exceeds the bound the
+    stated parameters imply — catches a shard built with LARGER
+    parameters (the common mismatch). A shard built with smaller
+    parameters keeps all indices in range and is NOT detectable from the
+    table alone; the parameter contract stays on the caller."""
+    return df.withColumn(
+        col,
+        F.when(
+            F.col(col) >= F.lit(bound),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what}: index "),
+                    F.col(col).cast("string"),
+                    F.lit(f" out of range for bound {bound} — shard built "
+                          "with different parameters?"),
+                )
+            ).cast(df.schema[col].dataType),
+        ).otherwise(F.col(col)),
+    )
+
+
+def hll_merge(*register_sets: DataFrame, b: int | None = None) -> DataFrame:
     """Union per-shard (bucket, reg) HLL register sets: max per bucket.
     The result is exactly the register set a single build over the
     concatenated shards would produce; feed to hll_cardinality as usual.
-    Cost: shuffles at most shards * m rows — never data-sized."""
-    if not register_sets:
-        raise ValueError("hll_merge needs at least one register set")
-    out = register_sets[0].select("bucket", "reg")
-    for r in register_sets[1:]:
-        out = out.unionByName(r.select("bucket", "reg"))
-    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    Cost: shuffles at most shards * m rows — never data-sized.
+
+    Register indices are POSITIONAL: every shard must be built with the
+    same ``b``. Pass ``b`` to add a runtime guard that fails the job if
+    any bucket lands outside [0, 2^b) — catches a larger-b shard; a
+    smaller-b shard is indistinguishable from sparse data, so the
+    parameter contract is ultimately the caller's."""
+    if b is not None:
+        register_sets = tuple(
+            _guard_bucket_bound(r, "bucket", 1 << b, "hll_merge")
+            for r in register_sets
+        )
+    return _merge_sketch_tables(
+        register_sets, ["bucket"], _MergeAgg(F.max("reg"), "reg")
+    )
 
 
-def cm_merge(*cell_sets: DataFrame) -> DataFrame:
+def cm_merge(
+    *cell_sets: DataFrame, depth: int | None = None, width: int | None = None
+) -> DataFrame:
     """Union per-shard (row, bucket, c) count-min cell tables: sum per
-    cell (count-min is linear). Shards must share depth/width — cells
-    are positional. At most shards * depth * width rows shuffle."""
-    if not cell_sets:
-        raise ValueError("cm_merge needs at least one cell set")
-    out = cell_sets[0].select("row", "bucket", "c")
-    for r in cell_sets[1:]:
-        out = out.unionByName(r.select("row", "bucket", "c"))
-    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    cell (count-min is linear). Cells are POSITIONAL — shards must share
+    depth/width; pass them to add runtime out-of-range guards (catches
+    larger-parameter shards, see hll_merge). At most shards * depth *
+    width rows shuffle."""
+    if depth is not None or width is not None:
+        guarded = []
+        for cs in cell_sets:
+            if depth is not None:
+                cs = _guard_bucket_bound(cs, "row", depth, "cm_merge")
+            if width is not None:
+                cs = _guard_bucket_bound(cs, "bucket", width, "cm_merge")
+            guarded.append(cs)
+        cell_sets = tuple(guarded)
+    return _merge_sketch_tables(
+        cell_sets, ["row", "bucket"], _MergeAgg(F.sum("c"), "c")
+    )
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -258,8 +317,11 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     bits) shape, preserved so the merged row is a drop-in for
     bloom_filter): bitwise OR of the bit arrays. Raises if the filters
     were built with different (m_bits, k) — the bit positions would not
-    be comparable. The parameter check reads one metadata row per side
-    (bounded, same class as bloom_build's own metadata collect)."""
+    be comparable. Both inputs are localCheckpointed first (one-row
+    frames): the metadata .first() would otherwise run each full build
+    job once, and the crossJoin would run both AGAIN on consumption —
+    the same recompute trap bloom_filter guards against."""
+    a, b = a.localCheckpoint(), b.localCheckpoint()
     pa = a.select("__m_bits", "__k").first()
     pb = b.select("__m_bits", "__k").first()
     if (pa["__m_bits"], pa["__k"]) != (pb["__m_bits"], pb["__k"]):
@@ -351,13 +413,13 @@ def qhist_build(
 def qhist_merge(*hists: DataFrame) -> DataFrame:
     """Union per-shard (bucket, c) histograms: sum per bucket — the
     histogram is linear, so merge(build(A), build(B)) == build(A ∪ B)
-    exactly. At most shards * n_buckets rows shuffle."""
-    if not hists:
-        raise ValueError("qhist_merge needs at least one histogram")
-    out = hists[0].select("bucket", "c")
-    for h in hists[1:]:
-        out = out.unionByName(h.select("bucket", "c"))
-    return out.groupBy("bucket").agg(F.sum("c").alias("c"))
+    exactly. At most shards * n_buckets rows shuffle.
+
+    Bucket indices are POSITIONAL in (scale, s): every shard must be
+    built with the same parameters. Unlike hll/cm there is no usable
+    range bound to guard (any index is valid under some magnitude), so
+    the contract rests entirely on the caller."""
+    return _merge_sketch_tables(hists, ["bucket"], _MergeAgg(F.sum("c"), "c"))
 
 
 def qhist_quantiles(

@@ -326,3 +326,26 @@ def test_qhist_merge_equals_whole_and_quantile_bound(spark):
     for r in qhist_quantiles(merged_df, [0.5, 0.9, 0.99]).collect():
         true = sv[math.ceil(r.q * len(sv)) - 1]
         assert abs(r.est - true) <= true * 2**-5 + 1 / 16 + 1e-9, (r.q, r.est, true)
+
+
+def test_merge_guards_catch_larger_parameter_shards(spark):
+    """hll_merge(b=)/cm_merge(depth=,width=) fail the job when a shard's
+    positional indices exceed the stated parameter bounds — the
+    detectable half of the parameter-mismatch contract."""
+    from pyspark.errors import SparkRuntimeException
+    from shovel_spark.operators.sketches import (
+        cm_merge,
+        count_min_build,
+        hll_build,
+        hll_merge,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)], "k string")
+    ok = hll_merge(hll_build(df, "k", b=6), b=6).count()
+    assert ok <= 64
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        hll_merge(hll_build(df, "k", b=7), b=6).count()
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        cm_merge(count_min_build(df, "k", depth=3, width=512), width=256).count()
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        cm_merge(count_min_build(df, "k", depth=5, width=256), depth=4).count()
