@@ -4901,6 +4901,85 @@ def docs_benchmark_contamination(spark, sf_dir):
 
 
 @_register(
+    "docs_remove_boilerplate",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN 'home login signup menu search profile settings logout help about contact terms privacy sitemap feedback careers press blog forum status'
+                       || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus),
+    p AS (
+      SELECT doc_id, i AS idx,
+             list_slice(w, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)) AS pw
+      FROM (SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+            FROM w WHERE len(w) > 0)
+    ),
+    g AS (
+      SELECT doc_id, idx, array_to_string(pw, ' ') AS para,
+             (len(pw) >= 5 AND
+              len(list_filter(pw, x -> list_contains(
+                    ['the', 'data', 'key', 'value', 'row'], x)))
+                >= len(pw) * CAST(0.2 AS DOUBLE)) AS good
+      FROM p
+    ),
+    k AS (
+      SELECT doc_id, idx, para,
+             (good
+              OR coalesce(lag(good) OVER (PARTITION BY doc_id ORDER BY idx), false)
+              OR coalesce(lead(good) OVER (PARTITION BY doc_id ORDER BY idx), false)
+             ) AS keep
+      FROM g
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept, string_agg(para, ' ' ORDER BY idx) AS t
+      FROM k WHERE keep GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(ceil(len(w.w) / 10.0) AS BIGINT) AS n_paras,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           md5(coalesce(reb.t, '')) AS text_md5
+    FROM w LEFT JOIN reb USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def docs_remove_boilerplate(spark, sf_dir):
+    """jusText-style main-content extraction (quality.remove_boilerplate):
+    every 10th document gets a 20-word nav-chrome paragraph planted at the
+    front (zero stopwords — classic link-list signature); the operator
+    classifies 10-word paragraphs by length + stopword ratio, applies
+    jusText's near-good context rule (a bad paragraph adjacent to a good
+    one survives), and reassembles each doc. The planted chrome's first
+    window dies, its second window is context-saved by the adjacent real
+    text — the oracle replays scoring, the lag/lead context pass, and the
+    rebuilt text md5 per doc.
+
+    Scale shape: scoring is map-only array work; the only window is
+    per-doc lag/lead (bounded by a document's paragraph count); no
+    content-keyed windows, no driver state."""
+    from shovel_spark.operators.quality import remove_boilerplate
+
+    chrome = (
+        "home login signup menu search profile settings logout help about "
+        "contact terms privacy sitemap feedback careers press blog forum status"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(chrome + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        remove_boilerplate(d)
+        .select("doc_id", "n_paras", "n_kept", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "docs_bloom_decontamination",
     r"""
     WITH corpus AS (

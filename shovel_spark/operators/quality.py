@@ -204,3 +204,107 @@ def gopher_flags(
     for name in flags:
         gate = gate & F.col(name)
     return out.withColumn("gopher_pass", gate).drop("__toks")
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    para_words: int = 10,
+    min_words: int = 5,
+    min_stop_ratio: float = 0.2,
+) -> DataFrame:
+    """jusText-style boilerplate removal with document reassembly — the
+    main-content extraction stage of a webtext pipeline (trafilatura /
+    jusText sit here in production crawls): classify each paragraph as
+    content or boilerplate from LOCAL signals, then apply jusText's
+    context rule so borderline paragraphs sandwiched between good ones
+    survive, and rebuild each document from the kept paragraphs in order.
+
+    Paragraphs are consecutive ``para_words``-word windows (same
+    convention as dedup.paragraph_dedup: the synthetic corpus has no
+    newline structure; swap the splitter for ``split(text, '\\n\\n')``
+    on real pages). A paragraph is GOOD if it has >= ``min_words`` words
+    AND a stopword ratio >= ``min_stop_ratio`` — jusText's core signal:
+    functional prose carries function words, link lists and nav chrome
+    don't. A non-good paragraph is NEAR-GOOD (kept) if an adjacent
+    paragraph is good; everything else is dropped.
+
+    Returns (id, n_paras, n_kept, text) — one row per input doc, text =
+    kept paragraphs rejoined ('' if everything was boilerplate).
+
+    Scale shape: splitting and scoring are map-only higher-order array
+    functions (no shuffle, no Python); the context rule is a lag/lead
+    window PARTITIONED BY doc — bounded by one document's paragraph
+    count, never global; reassembly is the same per-doc sort_array
+    groupBy as paragraph_dedup. The stopword list rides along as a
+    literal array (broadcast-sized by definition).
+    """
+    from pyspark.sql import Window
+
+    if stopwords is None:
+        stopwords = ["the", "data", "key", "value", "row"]
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    n = F.size("__w")
+    n_paras = (
+        F.when(n > 0, F.ceil(n / F.lit(para_words))).otherwise(F.lit(0)).cast("long")
+    )
+    with_counts = base.withColumn("__np", n_paras)
+    paras = (
+        with_counts.filter(F.col("__np") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("__np") - 1).cast("int")),
+                    lambda i: F.slice("__w", i * para_words + 1, para_words),
+                )
+            ).alias("idx", "__pw"),
+        )
+        .select(
+            id_col,
+            "idx",
+            F.array_join("__pw", " ").alias("__para"),
+            F.size("__pw").alias("__nw"),
+            F.size(
+                F.filter("__pw", lambda w: F.array_contains(stop_arr, w))
+            ).alias("__ns"),
+        )
+    )
+    good = (F.col("__nw") >= min_words) & (
+        F.col("__ns") >= F.col("__nw") * F.lit(min_stop_ratio)
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    scored = paras.withColumn("__good", good).withColumn(
+        "__keep",
+        F.col("__good")
+        | F.coalesce(F.lag("__good").over(w), F.lit(False))
+        | F.coalesce(F.lead("__good").over(w), F.lit(False)),
+    )
+    rebuilt = (
+        scored.filter("__keep")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                " ",
+            ).alias("__text"),
+        )
+    )
+    return (
+        with_counts.select(id_col, F.col("__np").alias("n_paras"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        )
+    )

@@ -220,3 +220,49 @@ def test_bm25_topk_hand_computed(spark):
         key=lambda t: (-t[2], t[0]),
     )
     assert got == exp
+
+
+def test_remove_boilerplate_classification_and_context(spark):
+    """Hand-built doc: [chrome x10][good x10][chrome x10][chrome x10] with
+    stopwords only in the good window. The good window survives, BOTH
+    chrome windows adjacent to it are context-saved, the far chrome
+    window dies; reassembly preserves order."""
+    from shovel_spark.operators.quality import remove_boilerplate
+
+    chrome = "home login menu nav search profile settings logout help about"
+    good = "the data flows by key and value per row in"
+    text = " ".join([chrome, good, chrome, chrome])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = remove_boilerplate(df).first()
+    assert row.n_paras == 4
+    assert row.n_kept == 3  # good + its two neighbors; window 4 dropped
+    assert row.text == " ".join([chrome, good, chrome])
+
+
+def test_remove_boilerplate_all_chrome_and_empty(spark):
+    from shovel_spark.operators.quality import remove_boilerplate
+
+    chrome = "home login menu nav search profile settings logout help about"
+    df = spark.createDataFrame(
+        [(1, chrome + " " + chrome), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in remove_boilerplate(df).collect()}
+    assert rows[1].n_kept == 0 and rows[1].text == ""
+    # tokens("") is [""] in both engines (paragraph_dedup convention):
+    # one empty paragraph, classified boilerplate and dropped
+    assert rows[2].n_paras == 1 and rows[2].n_kept == 0 and rows[2].text == ""
+
+
+def test_remove_boilerplate_short_paragraph_rules(spark):
+    """A trailing short window (< min_words) is boilerplate on its own
+    but context-saved when its neighbor is good."""
+    from shovel_spark.operators.quality import remove_boilerplate
+
+    good = "the data flows by key and value per row in"
+    df = spark.createDataFrame(
+        [(1, good + " tail"), (2, "home login menu nav search profile settings logout help about tail")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in remove_boilerplate(df).collect()}
+    assert rows[1].n_kept == 2 and rows[1].text == good + " tail"
+    assert rows[2].n_kept == 0
