@@ -1604,6 +1604,115 @@ def events_hll_sharded_union(spark, sf_dir):
 
 
 @_register(
+    "stream_hll_two_batches",
+    """
+    WITH b0 AS (SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+    b1 AS (SELECT DISTINCT user_id FROM events WHERE user_id >= 50),
+    hashed AS (
+      SELECT 0 AS batch,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM b0
+      UNION ALL
+      SELECT 1,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      FROM b1
+    ),
+    rho AS (
+      SELECT batch, h % 64 AS bucket,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE strpos(reverse(bin(h // 64)), '1') END AS r
+      FROM hashed
+    ),
+    regs AS MATERIALIZED (
+      SELECT batch, bucket, max(r) AS reg FROM rho GROUP BY 1, 2
+    ),
+    per_batch AS (
+      SELECT batch, CAST(count(*) AS BIGINT) AS n_regs,
+             CAST(sum((bucket + 1) * reg) AS BIGINT) AS reg_checksum
+      FROM regs GROUP BY 1
+    ),
+    merged AS (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1),
+    fr AS (
+      SELECT t.b AS bucket, coalesce(merged.reg, 0) AS reg
+      FROM range(0, 64) t(b) LEFT JOIN merged ON merged.bucket = t.b
+    ),
+    agg AS (
+      SELECT count(*) AS m,
+             sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS nonzero,
+             0.709 * 4096.0 / sum(power(2.0, -reg)) AS raw
+      FROM fr
+    ),
+    summary AS (
+      SELECT CASE WHEN raw <= 160.0 AND m - nonzero > 0
+                  THEN round(64.0 * ln(64.0 / (m - nonzero)), 4)
+                  ELSE round(raw, 4) END AS est,
+             (SELECT count(DISTINCT user_id) FROM events WHERE user_id < 100
+                 OR user_id >= 50) AS exact
+      FROM agg
+    )
+    SELECT p.batch, p.n_regs, p.reg_checksum, s.est, s.exact
+    FROM per_batch p CROSS JOIN summary s
+    ORDER BY p.batch
+    """,
+)
+def stream_hll_two_batches(spark, sf_dir):
+    """STREAMING cardinality sketch, VALUE-CHECKED: two overlapping
+    micro-batches (users < 100, users >= 50) run through the real
+    foreachBatch handler (streaming/pipeline.py _process_sketch_batch),
+    each landing its own __batch register partition; batch 1 is then
+    REPLAYED to prove write idempotence (dynamic overwrite replaces the
+    partition — the driver-checked row counts would double otherwise).
+    The merged estimate dedupes the 50-user overlap by max-merge algebra.
+    The oracle replays both batches' registers bit-for-bit, the
+    per-batch checksums, the max-merge, and the corrected estimate;
+    ``exact`` is the true distinct count for contrast."""
+    import hashlib
+    import os
+    import shutil
+
+    from shovel_spark.operators.sketches import hll_cardinality, hll_merge
+    from shovel_spark.streaming.pipeline import _process_sketch_batch
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    b0 = ev.filter(F.col("user_id") < 100)
+    b1 = ev.filter(F.col("user_id") >= 50)
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{os.path.abspath(sf_dir)}:shll".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp/shovel_spark_shll", tag)
+    try:
+        _process_sketch_batch(b0, 0, base, "user_id", b=6)
+        _process_sketch_batch(b1, 1, base, "user_id", b=6)
+        _process_sketch_batch(b1, 1, base, "user_id", b=6)  # replay: must replace
+        regs = spark.read.parquet(os.path.join(base, "registers")).select(
+            F.col("__batch").alias("batch"), "bucket", "reg"
+        ).localCheckpoint()
+        per_batch = regs.groupBy("batch").agg(
+            F.count("*").alias("n_regs"),
+            F.sum((F.col("bucket") + 1) * F.col("reg")).alias("reg_checksum"),
+        )
+        summary = (
+            hll_cardinality(
+                hll_merge(regs.select("bucket", "reg"), b=6), b=6, spark=spark
+            )
+            .crossJoin(
+                ev.filter((F.col("user_id") < 100) | (F.col("user_id") >= 50))
+                .agg(F.countDistinct("user_id").alias("exact"))
+            )
+            .select(F.round("est", 4).alias("est"), "exact")
+        )
+        out = per_batch.crossJoin(F.broadcast(summary)).select(
+            "batch", "n_regs", "reg_checksum", "est", "exact"
+        ).orderBy("batch")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "batch int, n_regs long, reg_checksum long, est double, exact long"
+    )
+
+
+@_register(
     "events_type_drift",
     """
     WITH a AS (

@@ -262,3 +262,78 @@ def _process_neardup_batch(
     # batch-keyed from batch 0 on (uniform index schema; dynamic overwrite
     # creates the path on the first batch and replaces on replay)
     append_to_minhash_index(survivors, index_path, batch=int(batch_id), **mh_kw)
+
+
+# --- Streaming cardinality sketch ------------------------------------------
+
+
+def _process_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    key_col: str,
+    b: int = 6,
+) -> None:
+    """One micro-batch of the streaming HLL ingest (module-level so replay
+    idempotency is directly testable): build the batch's own register set
+    and land it in a ``__batch=<id>`` partition with dynamic overwrite —
+    a replayed batch REPLACES its partition. Even a duplicated batch
+    partition could not corrupt the answer: the read-side merge is
+    max-per-bucket, so the estimate is idempotent by the sketch's own
+    algebra, not by write bookkeeping."""
+    from shovel_spark.operators.sketches import hll_build
+
+    (
+        hll_build(batch_df, key_col, b=b)
+        .withColumn("__batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        # pinned per-write (see _process_neardup_batch): correctness must
+        # not depend on the session-level partitionOverwriteMode
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(os.path.join(out_dir, "registers"))
+    )
+
+
+def run_sketch_ingest_once(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    b: int = 6,
+    schema: str = "event_id long, user_id long, value double",
+) -> None:
+    """Streaming distinct-cardinality monitor: every micro-batch appends
+    its own bounded HLL register partition (2^b rows max per batch, built
+    map-side-combinably however large the batch); "distinct keys so far"
+    is answered any time by read_stream_cardinality without rescanning
+    ingested data — the streaming form of the cross-shard sketch union.
+    Trigger.AvailableNow + checkpoint semantics as run_stream_once."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _process_sketch_batch(batch_df, batch_id, out_dir, key_col, b)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_stream_cardinality(
+    spark: SparkSession, out_dir: str, b: int = 6
+) -> DataFrame:
+    """(m, nonzero, est) over everything ingested so far: max-merge the
+    per-batch register partitions (batches × 2^b rows — never
+    data-sized) and estimate. Safe to run concurrently with ingest;
+    a replayed batch partition changes nothing (max is idempotent)."""
+    from shovel_spark.operators.sketches import hll_cardinality, hll_merge
+
+    regs = spark.read.parquet(os.path.join(out_dir, "registers")).select(
+        "bucket", "reg"
+    )
+    return hll_cardinality(hll_merge(regs, b=b), b=b, spark=spark)

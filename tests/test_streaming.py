@@ -280,3 +280,76 @@ def test_neardup_ingest_with_doc_freq_cap(spark, tmp_path):
     idx2, out2, ckpt2 = (str(tmp_path / d) for d in ("idx2", "out2", "ck2"))
     run_neardup_ingest_once(spark, inp, idx2, out2, ckpt2, threshold=0.3)
     assert spark.read.parquet(os.path.join(out2, "docs")).count() < 8
+
+
+def test_sketch_ingest_stream_checkpoint_and_merge(spark, tmp_path):
+    """Streaming HLL ingest through the REAL readStream path: chunk 1 is
+    consumed, chunk 2 (overlapping keys) only on the resumed run; the
+    merged cardinality tracks the true distinct count within HLL error,
+    and equals a single batch build over the union (lossless union)."""
+    from shovel_spark.operators.sketches import hll_build, hll_cardinality
+    from shovel_spark.streaming.pipeline import (
+        read_stream_cardinality,
+        run_sketch_ingest_once,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "sk_out")
+    ckpt = str(tmp_path / "sk_ckpt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 500).alias("user_id"),
+        F.lit(1.0).alias("value"),
+    )
+    mk(0, 2000).write.mode("append").parquet(in_dir)
+    run_sketch_ingest_once(spark, in_dir, out_dir, ckpt, "user_id", b=6)
+    est1 = read_stream_cardinality(spark, out_dir, b=6).first()["est"]
+    assert abs(est1 - 500) / 500 < 0.4
+
+    mk(2000, 3000).write.mode("append").parquet(in_dir)  # users 0..499 again
+    run_sketch_ingest_once(spark, in_dir, out_dir, ckpt, "user_id", b=6)
+    est2 = read_stream_cardinality(spark, out_dir, b=6).first()["est"]
+    # overlap must not inflate: max-merge, not sum
+    assert est2 == est1
+
+    whole = {
+        r.bucket: r.reg
+        for r in hll_build(mk(0, 3000), "user_id", b=6).collect()
+    }
+    regs = spark.read.parquet(os.path.join(out_dir, "registers"))
+    merged = {
+        r.bucket: r.reg
+        for r in regs.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
+    }
+    assert merged == whole
+
+
+def test_sketch_batch_replay_replaces_partition(spark, tmp_path):
+    """A replayed foreachBatch call (at-least-once crash window) must
+    REPLACE its __batch partition under a vanilla static-overwrite
+    session, not duplicate rows or wipe other batches."""
+    from shovel_spark.streaming.pipeline import _process_sketch_batch
+
+    out = str(tmp_path / "sk")
+    df0 = spark.range(100).select((F.col("id") % 40).alias("user_id"))
+    df1 = spark.range(100, 200).select((F.col("id") % 70).alias("user_id"))
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    had = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.unset(conf_key)  # Spark default: STATIC
+        _process_sketch_batch(df0, 0, out, "user_id", b=6)
+        _process_sketch_batch(df1, 1, out, "user_id", b=6)
+        before = sorted(
+            (r["__batch"], r.bucket, r.reg)
+            for r in spark.read.parquet(os.path.join(out, "registers")).collect()
+        )
+        _process_sketch_batch(df1, 1, out, "user_id", b=6)  # replay
+        after = sorted(
+            (r["__batch"], r.bucket, r.reg)
+            for r in spark.read.parquet(os.path.join(out, "registers")).collect()
+        )
+        assert after == before
+        assert {b for b, _, _ in after} == {0, 1}
+    finally:
+        if had is not None:
+            spark.conf.set(conf_key, had)
