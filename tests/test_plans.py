@@ -101,6 +101,9 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "emb_margin_mining",
         "docs_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast
         "docs_phrase_mining",  # 1-row corpus token total broadcast
+        "events_hll_sharded_union",  # 1-row merged estimate broadcast
+        "events_value_qhist",  # 3-row quantile frame + 1-row total broadcast
+        "events_type_drift",  # 1-row psi/js totals broadcast
     }
     offenders = {}
     for name, fn in e.queries().items():
