@@ -5010,6 +5010,46 @@ def docs_benchmark_contamination(spark, sf_dir):
 
 
 @_register(
+    "docs_crawl_frontier",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rank,
+           ('0x' || substr(md5(source), 1, 8))::BIGINT % 4 AS worker
+    FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+)
+def docs_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier next-batch selection (operators/frontier.py):
+    per source (the host analog), the 5 highest-priority docs (priority =
+    n_chars, doc_id tie-break), each assigned to its owning fetch worker
+    by md5 host hash — one owner per host, so politeness needs no
+    cross-worker coordination. The oracle replays the ranking and the
+    worker hash exactly.
+
+    Scale shape: the rank<=K filter compiles to WindowGroupLimit
+    (plan-asserted in pytest) — a hot host is pruned to K rows per input
+    partition map-side BEFORE the shuffle, instead of sorting its whole
+    queue in one window partition."""
+    from shovel_spark.operators.frontier import frontier_next
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        frontier_next(
+            d, "source", "doc_id", priority_col="n_chars", per_host=5, n_workers=4
+        )
+        .select("doc_id", "source", "n_chars", "rank", "worker")
+        .orderBy("source", "rank")
+    )
+
+
+@_register(
     "docs_remove_boilerplate",
     r"""
     WITH corpus AS (
