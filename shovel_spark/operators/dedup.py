@@ -33,6 +33,72 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def split_paragraph_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """THE paragraph convention, defined once (used by paragraph_dedup
+    and quality.remove_boilerplate): consecutive ``para_words``-word
+    windows over the whitespace tokens. Returns (with_counts, paras):
+    with_counts = (id, __np) one row per input doc; paras = (id, idx,
+    __pw array<string>) one row per window. Swapping the splitter for
+    ``split(text, '\\n\\n')`` on real pages happens HERE and nowhere
+    else."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    n = F.size("__w")
+    n_paras = (
+        F.when(n > 0, F.ceil(n / F.lit(para_words))).otherwise(F.lit(0)).cast("long")
+    )
+    with_counts = base.withColumn("__np", n_paras)
+    paras = (
+        with_counts.filter(F.col("__np") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("__np") - 1).cast("int")),
+                    lambda i: F.slice("__w", i * para_words + 1, para_words),
+                )
+            ).alias("idx", "__pw"),
+        )
+    )
+    return with_counts, paras
+
+
+def reassemble_paragraphs(
+    with_counts: DataFrame,
+    kept: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild (id, n_paras, n_kept, text) from surviving (id, idx,
+    __para) rows — the shared finalization of every paragraph-level
+    operator: per-doc sort_array reassembly (bounded by one document's
+    paragraph count), '' for docs that lost everything."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "__para"))),
+                lambda s: s["__para"],
+            ),
+            " ",
+        ).alias("__text"),
+    )
+    return (
+        with_counts.select(id_col, F.col("__np").alias("n_paras"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -60,25 +126,10 @@ def paragraph_dedup(
     (bounded by a single document's paragraph count). No windows over
     content keys, no driver state.
     """
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
-    n = F.size("__w")
-    n_paras = F.when(n > 0, F.ceil(n / F.lit(para_words))).otherwise(F.lit(0)).cast("long")
-    with_counts = base.withColumn("__np", n_paras)
-    paras = (
-        with_counts.filter(F.col("__np") > 0)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), (F.col("__np") - 1).cast("int")),
-                    lambda i: F.array_join(
-                        F.slice("__w", i * para_words + 1, para_words), " "
-                    ),
-                )
-            ).alias("idx", "__para"),
-        )
-        .withColumn("__h", F.md5("__para"))
-    )
+    with_counts, windows = split_paragraph_windows(df, text_col, id_col, para_words)
+    paras = windows.select(
+        id_col, "idx", F.array_join("__pw", " ").alias("__para")
+    ).withColumn("__h", F.md5("__para"))
     firsts = paras.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col).alias("fid"), F.col("idx").alias("fidx"))).alias("__w1")
     )
@@ -87,26 +138,7 @@ def paragraph_dedup(
         .filter((F.col(id_col) == F.col("__w1.fid")) & (F.col("idx") == F.col("__w1.fidx")))
         .select(id_col, "idx", "__para")
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "__para"))),
-                lambda s: s["__para"],
-            ),
-            " ",
-        ).alias("__text"),
-    )
-    return (
-        with_counts.select(id_col, F.col("__np").alias("n_paras"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_paras",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-        )
-    )
+    return reassemble_paragraphs(with_counts, kept, text_col, id_col)
 
 
 # --- shingles (shared by MinHash / Jaccard) ---------------------------------

@@ -24,12 +24,12 @@ from pyspark.sql import functions as F
 
 
 def host_worker(host: Column, n_workers: int) -> Column:
-    """Stable worker id for a host: first 8 md5 hex chars as an unsigned
-    int, mod n_workers — one owner per host, identical in any engine."""
-    return (
-        F.conv(F.substring(F.md5(host), 1, 8), 16, 10).cast("long")
-        % n_workers
-    )
+    """Stable worker id for a host: the shared engine-neutral md5_mod
+    idiom (sketches.md5_mod) — one owner per host, identical in any
+    engine."""
+    from shovel_spark.operators.sketches import md5_mod
+
+    return md5_mod(host, n_workers)
 
 
 def frontier_next(

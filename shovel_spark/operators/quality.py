@@ -243,36 +243,24 @@ def remove_boilerplate(
     """
     from pyspark.sql import Window
 
+    from shovel_spark.operators.dedup import (
+        reassemble_paragraphs,
+        split_paragraph_windows,
+    )
+
     if stopwords is None:
         stopwords = ["the", "data", "key", "value", "row"]
     stop_arr = F.array(*[F.lit(w) for w in stopwords])
 
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
-    n = F.size("__w")
-    n_paras = (
-        F.when(n > 0, F.ceil(n / F.lit(para_words))).otherwise(F.lit(0)).cast("long")
-    )
-    with_counts = base.withColumn("__np", n_paras)
-    paras = (
-        with_counts.filter(F.col("__np") > 0)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), (F.col("__np") - 1).cast("int")),
-                    lambda i: F.slice("__w", i * para_words + 1, para_words),
-                )
-            ).alias("idx", "__pw"),
-        )
-        .select(
-            id_col,
-            "idx",
-            F.array_join("__pw", " ").alias("__para"),
-            F.size("__pw").alias("__nw"),
-            F.size(
-                F.filter("__pw", lambda w: F.array_contains(stop_arr, w))
-            ).alias("__ns"),
-        )
+    with_counts, windows = split_paragraph_windows(df, text_col, id_col, para_words)
+    paras = windows.select(
+        id_col,
+        "idx",
+        F.array_join("__pw", " ").alias("__para"),
+        F.size("__pw").alias("__nw"),
+        F.size(
+            F.filter("__pw", lambda w: F.array_contains(stop_arr, w))
+        ).alias("__ns"),
     )
     good = (F.col("__nw") >= min_words) & (
         F.col("__ns") >= F.col("__nw") * F.lit(min_stop_ratio)
@@ -284,27 +272,5 @@ def remove_boilerplate(
         | F.coalesce(F.lag("__good").over(w), F.lit(False))
         | F.coalesce(F.lead("__good").over(w), F.lit(False)),
     )
-    rebuilt = (
-        scored.filter("__keep")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "__para"))),
-                    lambda s: s["__para"],
-                ),
-                " ",
-            ).alias("__text"),
-        )
-    )
-    return (
-        with_counts.select(id_col, F.col("__np").alias("n_paras"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_paras",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-        )
-    )
+    kept = scored.filter("__keep").select(id_col, "idx", "__para")
+    return reassemble_paragraphs(with_counts, kept, text_col, id_col)

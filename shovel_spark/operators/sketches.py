@@ -27,11 +27,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def md5_mod(col: Column, modulus: int, salt: str = "", hex_chars: int = 8) -> Column:
+    """THE engine-neutral hash-to-bucket idiom, defined once: first
+    ``hex_chars`` hex chars of md5(salt || col) as an unsigned int, mod
+    ``modulus`` — replayable in any SQL engine as
+    ``('0x' || substr(md5(salt || x), 1, hex_chars))::BIGINT % modulus``.
+    ``hex_chars`` <= 15 keeps the value sign-safe in a 64-bit BIGINT."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError("hex_chars must be in [1, 15] for BIGINT sign safety")
+    h = F.md5(F.concat(F.lit(salt), col)) if salt else F.md5(col)
+    return F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("long") % modulus
+
+
 def cm_bucket(key: Column, row: int, width: int) -> Column:
     """Bucket of ``key`` in hash row ``row`` — md5-derived so any engine
     reproduces it: first 8 hex chars as an unsigned int, mod width."""
-    h = F.md5(F.concat(F.lit(f"cm{row}:"), key))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).alias("bucket")
+    return md5_mod(key, width, salt=f"cm{row}:").alias("bucket")
 
 
 def count_min_build(
@@ -459,8 +470,7 @@ def qhist_quantiles(
 
 
 def _bloom_pos(key: Column, probe: int, m_bits: int) -> Column:
-    h = F.md5(F.concat(F.lit(f"bf{probe}:"), key))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+    return md5_mod(key, m_bits, salt=f"bf{probe}:")
 
 
 def bloom_build(

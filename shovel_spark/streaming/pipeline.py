@@ -329,8 +329,12 @@ def read_stream_cardinality(
 ) -> DataFrame:
     """(m, nonzero, est) over everything ingested so far: max-merge the
     per-batch register partitions (batches × 2^b rows — never
-    data-sized) and estimate. Safe to run concurrently with ingest;
-    a replayed batch partition changes nothing (max is idempotent)."""
+    data-sized) and estimate. VALUES are replay-proof (a replayed batch
+    partition changes nothing — max is idempotent), but the READ is not
+    atomic against a concurrent replay: dynamic overwrite deletes then
+    rewrites the partition's files, so a reader that listed the old files
+    can hit FileNotFoundException mid-job. Run between ingest cycles, or
+    wrap in a retry if ingest may be replaying concurrently."""
     from shovel_spark.operators.sketches import hll_cardinality, hll_merge
 
     regs = spark.read.parquet(os.path.join(out_dir, "registers")).select(
