@@ -1589,7 +1589,7 @@ def events_hll_sharded_union(spark, sf_dir):
     base = ev.select("user_id").filter(F.col("user_id").isNotNull())
     shard_a = hll_build(base.filter(F.col("user_id") % 2 == 0), "user_id", b=6)
     shard_b = hll_build(base.filter(F.col("user_id") % 2 != 0), "user_id", b=6)
-    regs = hll_merge(shard_a, shard_b)
+    regs = hll_merge(shard_a, shard_b, b=6)
     summary = hll_cardinality(regs, b=6, spark=spark).crossJoin(
         ev.agg(F.countDistinct("user_id").alias("exact"))
     ).select(F.round("est", 4).alias("est"), "exact")
@@ -1784,6 +1784,93 @@ def events_type_drift(spark, sf_dir):
             "n_b",
             F.round("share_a", 8).alias("share_a"),
             F.round("share_b", 8).alias("share_b"),
+            F.round("psi_term", 8).alias("psi_term"),
+            F.round("js_term", 8).alias("js_term"),
+            "psi",
+            "js",
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "events_value_drift_qhist",
+    """
+    WITH bk AS (
+      SELECT event_type,
+             CASE WHEN iv < 32 THEN iv
+                  ELSE (length(bin(iv)) - 1 - 5) * 32
+                       + CAST(floor(iv / power(2.0, length(bin(iv)) - 1 - 5)) AS BIGINT)
+             END AS bucket
+      FROM (
+        SELECT event_type,
+               greatest(CAST(floor(value * 16) AS BIGINT), 0) AS iv
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      )
+    ),
+    a AS (SELECT bucket, count(*) AS n_a FROM bk WHERE event_type = 'click' GROUP BY 1),
+    b AS (SELECT bucket, count(*) AS n_b FROM bk WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             coalesce(n_a, 0) / (SELECT sum(n_a) FROM a) AS share_a,
+             coalesce(n_b, 0) / (SELECT sum(n_b) FROM b) AS share_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ),
+    terms AS (
+      SELECT bucket, n_a, n_b,
+             (greatest(share_a, 1e-6) - greatest(share_b, 1e-6))
+               * ln(greatest(share_a, 1e-6) / greatest(share_b, 1e-6)) AS psi_term,
+             0.5 * greatest(share_a, 1e-6)
+               * ln(greatest(share_a, 1e-6)
+                    / ((greatest(share_a, 1e-6) + greatest(share_b, 1e-6)) / 2))
+             + 0.5 * greatest(share_b, 1e-6)
+               * ln(greatest(share_b, 1e-6)
+                    / ((greatest(share_a, 1e-6) + greatest(share_b, 1e-6)) / 2))
+               AS js_term
+      FROM j
+    )
+    SELECT bucket, n_a, n_b,
+           round(psi_term, 8) AS psi_term, round(js_term, 8) AS js_term,
+           round((SELECT sum(psi_term) FROM terms), 8) AS psi,
+           round((SELECT sum(js_term) FROM terms), 8) AS js
+    FROM terms
+    ORDER BY bucket
+    """,
+)
+def events_value_drift_qhist(spark, sf_dir):
+    """NUMERIC drift via sketch buckets — the composition the drift
+    module's "bucket BEFORE scoring" rule prescribes: click vs purchase
+    event VALUES are quantized through the qhist log buckets (bounded
+    cardinality whatever the value range), then PSI/JS-scored per bucket.
+    The oracle replays the bucket arithmetic AND both drift scores.
+
+    Scale shape: feeding raw values to drift_table would make the bucket
+    key data-sized; the qhist bucket caps it at (52-s)*2^s regardless of
+    scale, so the drift join stays kilobyte-sized at 100 TB."""
+    from shovel_spark.operators.drift import drift_scores, drift_table
+    from shovel_spark.operators.sketches import qhist_bucket
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", qhist_bucket(F.col("value")).alias("bucket"))
+    )
+    table = drift_table(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "bucket",
+    ).localCheckpoint()
+    totals = drift_scores(table).select(
+        F.round("psi", 8).alias("psi"), F.round("js", 8).alias("js")
+    )
+    return (
+        table.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
             F.round("psi_term", 8).alias("psi_term"),
             F.round("js_term", 8).alias("js_term"),
             "psi",

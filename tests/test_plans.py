@@ -104,6 +104,7 @@ def test_no_cartesian_product_in_any_contract_query(spark):
         "events_hll_sharded_union",  # 1-row merged estimate broadcast
         "events_value_qhist",  # 3-row quantile frame + 1-row total broadcast
         "events_type_drift",  # 1-row psi/js totals broadcast
+        "events_value_drift_qhist",  # same 1-row totals broadcast shape
     }
     offenders = {}
     for name, fn in e.queries().items():
