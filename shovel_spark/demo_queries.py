@@ -5137,6 +5137,135 @@ def docs_crawl_frontier(spark, sf_dir):
 
 
 @_register(
+    "docs_robots_filter",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT source AS host,
+             CAST(substring(source, 4) AS INT) % 2 AS par
+      FROM documents
+    ),
+    robots AS (
+      SELECT host,
+             CASE WHEN par = 0
+                  THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+                       || chr(10) || 'Allow: /private/ok' || chr(10)
+                       || 'Disallow: /tmp' || chr(10) || chr(10)
+                       || 'User-agent: badbot' || chr(10) || 'Disallow: /'
+                  ELSE 'User-agent: *' || chr(10) || 'Disallow: /tmp'
+             END AS txt
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, unnest(range(len(l))) AS idx, unnest(l) AS raw
+      FROM (SELECT host, string_split(txt, chr(10)) AS l FROM robots)
+    ),
+    lp AS (
+      SELECT host, idx, trim(regexp_replace(raw, '#.*$', '')) AS line
+      FROM lines
+    ),
+    grouped AS (
+      SELECT host, idx, line,
+             last_value(
+               CASE WHEN lower(line) LIKE 'user-agent:%'
+                    THEN lower(trim(substring(line, 12))) END IGNORE NULLS
+             ) OVER (PARTITION BY host ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+      FROM lp
+    ),
+    rules AS (
+      SELECT host, agent,
+             CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow'
+                  WHEN lower(line) LIKE 'disallow:%' THEN 'disallow' END AS rule,
+             CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substring(line, 7))
+                  WHEN lower(line) LIKE 'disallow:%' THEN trim(substring(line, 10))
+             END AS prefix
+      FROM grouped WHERE agent IS NOT NULL
+    ),
+    star AS (
+      SELECT host, rule, prefix FROM rules
+      WHERE agent = '*' AND rule IS NOT NULL AND len(prefix) > 0
+    ),
+    urls AS (
+      SELECT doc_id, source AS host,
+             CASE doc_id % 4
+               WHEN 0 THEN '/private/ok/p' || doc_id
+               WHEN 1 THEN '/private/p' || doc_id
+               WHEN 2 THEN '/tmp/p' || doc_id
+               ELSE '/pub/p' || doc_id END AS path
+      FROM documents
+    ),
+    scored AS (
+      SELECT u.doc_id, u.host, u.path,
+             max(CASE WHEN s.rule IS NOT NULL
+                      THEN len(s.prefix) * 2
+                           + CASE WHEN s.rule = 'allow' THEN 1 ELSE 0 END
+                 END) AS score
+      FROM urls u
+      LEFT JOIN star s
+        ON s.host = u.host AND starts_with(u.path, s.prefix)
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN score IS NULL THEN true ELSE score % 2 = 1 END AS allowed
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def docs_robots_filter(spark, sf_dir):
+    """robots.txt compliance (operators/robots.py): each host's policy is
+    synthesized deterministically (even hosts carry a Disallow/Allow/
+    Disallow block plus a separate badbot group that must NOT leak into
+    the '*' verdicts; odd hosts just block /tmp), parsed by the
+    line-stateful parse_robots (comment strip, group tracking via
+    IGNORE-NULLS last_value, empty-Disallow drop), and a four-shape URL
+    frontier is admitted by RFC 9309 longest-match (Allow wins ties).
+    /private/ok/* survives on even hosts BECAUSE the longer Allow beats
+    the shorter Disallow — the election, not just the match, is under
+    test. The oracle replays parse, grouping, and the 2*len+allow score
+    election exactly.
+
+    Scale shape: rules are policy-sized (hosts x rules) and broadcast;
+    the per-URL election is a map-side-combinable struct max; the only
+    window is per-host over a robots FILE's lines."""
+    from shovel_spark.operators.robots import parse_robots, robots_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    par = F.substring("source", 4, 10).cast("int") % 2
+    even_txt = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /tmp\n\nUser-agent: badbot\nDisallow: /"
+    )
+    odd_txt = "User-agent: *\nDisallow: /tmp"
+    robots = (
+        d.select("source").distinct()
+        .select(
+            F.col("source").alias("host"),
+            F.when(par == 0, F.lit(even_txt)).otherwise(F.lit(odd_txt)).alias(
+                "robots_txt"
+            ),
+        )
+    )
+    rules = parse_robots(robots)
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/private/ok/p"),
+                    F.lit("/private/p"),
+                    F.lit("/tmp/p"),
+                    F.lit("/pub/p"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return robots_filter(urls, rules).orderBy("doc_id")
+
+
+@_register(
     "docs_remove_boilerplate",
     r"""
     WITH corpus AS (
