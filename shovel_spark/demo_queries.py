@@ -5137,6 +5137,76 @@ def docs_crawl_frontier(spark, sf_dir):
 
 
 @_register(
+    "events_compaction_plan",
+    """
+    WITH manifest AS (
+      SELECT event_type AS partition,
+             'part-' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0') AS file,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS bytes
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT partition, file, bytes,
+             CAST(floor(
+               (CAST(sum(bytes) OVER (
+                  PARTITION BY partition ORDER BY bytes DESC, file
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) - bytes) / 200000.0
+             ) AS BIGINT) AS bin
+      FROM manifest
+    ),
+    summary AS (
+      SELECT partition, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+             CAST(sum(bytes) AS BIGINT) AS bytes_total
+      FROM planned GROUP BY 1
+    )
+    SELECT p.partition, p.file, p.bytes, p.bin, s.n_files, s.n_bins
+    FROM planned p JOIN summary s USING (partition)
+    ORDER BY p.partition, p.bin, p.bytes DESC, p.file
+    """,
+)
+def events_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/maintenance.py): a
+    deterministic synthetic manifest (one "file" per (event_type, user
+    bucket), bytes from aggregated values) is binned into 200 KB rewrite
+    groups by the largest-first running-sum rule — the OPTIMIZE-planning
+    half of lakehouse maintenance, which this repo's own batch-keyed
+    streaming writers make necessary at scale. The oracle replays the
+    manifest, the cumulative binning and the per-partition summary.
+
+    Scale shape: the plan runs over file METADATA (a manifest row per
+    file), windowed per table partition — never over data."""
+    from shovel_spark.operators.maintenance import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    manifest = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("partition"),
+            F.concat(
+                F.lit("part-"),
+                F.lpad((F.col("user_id") % 20).cast("string"), 2, "0"),
+            ).alias("file"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("bytes"))
+    )
+    plan = compaction_plan(manifest, 200_000).localCheckpoint()
+    return (
+        plan.join(
+            compaction_summary(plan).select("partition", "n_files", "n_bins"),
+            "partition",
+        )
+        .select("partition", "file", "bytes", "bin", "n_files", "n_bins")
+        .orderBy("partition", "bin", F.col("bytes").desc(), "file")
+    )
+
+
+@_register(
     "docs_robots_filter",
     """
     WITH hosts AS (
