@@ -3,30 +3,45 @@
 The operator pair a crawler runs between frontier selection
 (operators/frontier.py) and the fetch itself: parse each host's
 robots.txt into (agent, rule, prefix) rows, then admit or drop queued
-URLs by the standard longest-prefix-match election (RFC 9309 §2.2.2:
-the most specific matching rule wins; Allow beats Disallow on equal
-length; no matching rule means allowed).
+URLs by the RFC 9309 election: among the governing group's matching
+rules the most specific (longest pattern) wins, Allow beats Disallow on
+ties, and a URL with no matching rule is allowed. The governing group is
+the requested agent's own group when the host declares one, else the
+``*`` group (§2.2.1); rule paths support the §2.2.3 special characters
+``*`` (any chars) and trailing ``$`` (end anchor).
 
 Parsing robots.txt is line-oriented and STATEFUL (a rule line belongs to
 the most recent preceding User-agent group), which in DataFrame terms is
 a per-host posexplode + a last_value window ordered by line index —
 bounded by one robots file's line count (a few hundred lines), never by
-the corpus. Group semantics are simplified to single-agent groups (each
+the corpus. Lines end with LF, CRLF, or CR (§2.1) — the splitter and a
+whitespace trim handle all three, so a CRLF policy parses identically to
+a LF one. Group semantics are simplified to single-agent groups (each
 User-agent line opens a group; consecutive User-agent lines sharing one
 rule block are out of scope and documented).
 
 Scale shape: the rules table is hosts × rules — tiny next to the
 frontier — and broadcasts into the URL join; the election is a
-groupBy(url) max over matched rules (each URL matches at most the
-handful of prefixes its host declares). Everything is engine-neutral
+groupBy max over matched rules (each URL matches at most the handful of
+prefixes its host declares). Wildcard-free prefixes match via
+``startswith`` (whole-stage codegen); only rules that actually use
+``*``/``$`` take the regexp path. Everything is engine-neutral
 string/integer work, so an external SQL engine replays admit/deny
-verdicts exactly.
+verdicts exactly (the registered oracle covers the wildcard-free path;
+wildcard semantics are pytest-verified).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _wtrim(c: Column) -> Column:
+    """Whitespace trim that, unlike F.trim, also strips \\r and \\t —
+    required for CRLF robots.txt files, where a space-only trim leaves a
+    trailing \\r glued to every agent and prefix."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def parse_robots(
@@ -34,34 +49,35 @@ def parse_robots(
 ) -> DataFrame:
     """(host, agent, rule, prefix) rows from raw robots.txt bodies.
 
-    Lines are trimmed; comments (#...) stripped; ``User-agent:`` opens a
-    group (its value lower-cased); ``Allow:`` / ``Disallow:`` lines
-    attach to the most recent group via a running last_value window per
-    host (bounded by the file's line count). Rules before any User-agent
-    line and empty-prefix Disallow lines (RFC: "Disallow:" with no value
-    means allow everything) are dropped.
+    Lines are split on LF/CRLF/CR and whitespace-trimmed; comments
+    (#...) stripped; ``User-agent:`` opens a group (its value
+    lower-cased); ``Allow:`` / ``Disallow:`` lines attach to the most
+    recent group via a running last_value window per host (bounded by
+    the file's line count). Rules before any User-agent line and
+    empty-prefix Disallow lines (RFC: "Disallow:" with no value means
+    allow everything) are dropped.
     """
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "__raw"),
+        F.posexplode(F.split(F.col(robots_col), "\r\n|\r|\n")).alias("idx", "__raw"),
     ).select(
         "host",
         "idx",
-        F.trim(F.regexp_replace("__raw", "#.*$", "")).alias("line"),
+        _wtrim(F.regexp_replace("__raw", "#.*$", "")).alias("line"),
     )
     parsed = lines.select(
         "host",
         "idx",
         F.when(
             F.lower("line").startswith("user-agent:"),
-            F.lower(F.trim(F.expr("substring(line, 12)"))),
+            F.lower(_wtrim(F.expr("substring(line, 12)"))),
         ).alias("__agent_open"),
         F.when(
-            F.lower("line").startswith("allow:"), F.trim(F.expr("substring(line, 7)"))
+            F.lower("line").startswith("allow:"), _wtrim(F.expr("substring(line, 7)"))
         ).alias("__allow"),
         F.when(
             F.lower("line").startswith("disallow:"),
-            F.trim(F.expr("substring(line, 10)")),
+            _wtrim(F.expr("substring(line, 10)")),
         ).alias("__disallow"),
     )
     w = (
@@ -86,6 +102,17 @@ def parse_robots(
     )
 
 
+def _prefix_pattern(prefix: Column) -> Column:
+    """RFC 9309 §2.2.3 rule path → anchored Java/RE2-compatible regex:
+    regex metacharacters are escaped, ``*`` becomes ``.*``, a TRAILING
+    ``$`` becomes an end anchor. Only used for rules that contain a
+    special character — plain prefixes take the startswith fast path."""
+    esc = F.regexp_replace(prefix, r"([.^+?(){}\[\]|\\$])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\\\$$", "\\$")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), esc)
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -93,28 +120,47 @@ def robots_filter(
     path_col: str = "path",
     agent: str = "*",
 ) -> DataFrame:
-    """The input URLs with an ``allowed`` verdict column, by RFC 9309
-    longest-match: among the agent's rules whose prefix starts the URL
-    path, the longest prefix wins; Allow wins length ties; a URL with no
-    matching rule is allowed.
+    """The input URLs (row-for-row, duplicates preserved) with an
+    ``allowed`` verdict column, by RFC 9309 longest-match: among the
+    governing group's rules that match the URL path, the longest rule
+    path wins; Allow wins length ties; a URL with no matching rule is
+    allowed. The governing group is the requested agent's own group for
+    hosts that declare one, the ``*`` group otherwise (§2.2.1).
 
     The rules side broadcasts (hosts × rules — policy-sized, not
     data-sized); the election is one map-side-combinable max of a
-    (length, is_allow) struct per URL."""
-    r = rules.filter(F.col("agent") == agent.lower()).select(
+    (length, is_allow) struct per URL row."""
+    wanted = agent.lower()
+    spec = rules.filter(F.col("agent") == wanted)
+    star = rules.filter(F.col("agent") == "*")
+    # hosts with a group for the requested agent use ONLY that group;
+    # everyone else falls back to '*' — both sides are policy-sized
+    if wanted != "*":
+        spec_hosts = spec.select("host").distinct()
+        governing = spec.unionByName(
+            star.join(spec_hosts, "host", "left_anti")
+        )
+    else:
+        governing = star
+    has_special = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
+    r = governing.select(
         F.col("host").alias("__rhost"),
         "rule",
         "prefix",
         F.length("prefix").alias("__plen"),
+        F.when(has_special, _prefix_pattern(F.col("prefix"))).alias("__pat"),
     )
+    tagged = urls.withColumn("__rowid", F.monotonically_increasing_id())
+    match = F.when(
+        F.col("__pat").isNotNull(), F.regexp_like(F.col(path_col), F.col("__pat"))
+    ).otherwise(F.col(path_col).startswith(F.col("prefix")))
     matched = (
-        urls.join(
+        tagged.join(
             F.broadcast(r),
-            (F.col(host_col) == F.col("__rhost"))
-            & F.col(path_col).startswith(F.col("prefix")),
+            (F.col(host_col) == F.col("__rhost")) & match,
             "left",
         )
-        .groupBy(*urls.columns)
+        .groupBy("__rowid", *urls.columns)
         .agg(
             F.max(
                 F.when(
