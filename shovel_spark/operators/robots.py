@@ -55,7 +55,10 @@ def parse_robots(
     recent group via a running last_value window per host (bounded by
     the file's line count). Rules before any User-agent line and
     empty-prefix Disallow lines (RFC: "Disallow:" with no value means
-    allow everything) are dropped.
+    allow everything) are dropped — but every group DECLARATION survives
+    as a marker row with rule/prefix NULL, so a group that exists with
+    zero rules (the standard "this bot is exempt" idiom) is still
+    visible to robots_filter's §2.2.1 fallback decision.
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -88,17 +91,26 @@ def parse_robots(
     with_group = parsed.withColumn(
         "agent", F.last("__agent_open", ignorenulls=True).over(w)
     )
-    return (
-        with_group.filter(F.col("agent").isNotNull())
-        .select(
-            "host",
-            "agent",
-            F.when(F.col("__allow").isNotNull(), F.lit("allow"))
-            .when(F.col("__disallow").isNotNull(), F.lit("disallow"))
-            .alias("rule"),
-            F.coalesce("__allow", "__disallow").alias("prefix"),
-        )
-        .filter(F.col("rule").isNotNull() & (F.length("prefix") > 0))
+    shaped = with_group.filter(F.col("agent").isNotNull()).select(
+        "host",
+        "agent",
+        F.when(F.col("__allow").isNotNull(), F.lit("allow"))
+        .when(F.col("__disallow").isNotNull(), F.lit("disallow"))
+        .alias("rule"),
+        F.coalesce("__allow", "__disallow").alias("prefix"),
+        F.col("__agent_open").isNotNull().alias("__is_decl"),
+    )
+    return shaped.filter(
+        (F.col("rule").isNotNull() & (F.length("prefix") > 0)) | F.col("__is_decl")
+    ).select(
+        "host",
+        "agent",
+        F.when(F.col("__is_decl"), F.lit(None).cast("string"))
+        .otherwise(F.col("rule"))
+        .alias("rule"),
+        F.when(F.col("__is_decl"), F.lit(None).cast("string"))
+        .otherwise(F.col("prefix"))
+        .alias("prefix"),
     )
 
 
@@ -131,10 +143,16 @@ def robots_filter(
     data-sized); the election is one map-side-combinable max of a
     (length, is_allow) struct per URL row."""
     wanted = agent.lower()
-    spec = rules.filter(F.col("agent") == wanted)
-    star = rules.filter(F.col("agent") == "*")
-    # hosts with a group for the requested agent use ONLY that group;
-    # everyone else falls back to '*' — both sides are policy-sized
+    # one pre-filtered, materialized pass over the parse lineage — spec,
+    # star and spec_hosts otherwise each re-run the posexplode + window
+    relevant = rules.filter(F.col("agent").isin(wanted, "*")).localCheckpoint()
+    spec = relevant.filter(F.col("agent") == wanted)
+    star = relevant.filter(F.col("agent") == "*")
+    # hosts with a group for the requested agent use ONLY that group —
+    # including a group declared with zero rules (parse_robots keeps the
+    # declaration as a rule=NULL marker row; §2.2.1 says such a group
+    # means everything-allowed, NOT fall through to '*'); everyone else
+    # falls back to '*'. Both sides are policy-sized.
     if wanted != "*":
         spec_hosts = spec.select("host").distinct()
         governing = spec.unionByName(
@@ -142,6 +160,7 @@ def robots_filter(
         )
     else:
         governing = star
+    governing = governing.filter(F.col("rule").isNotNull())  # drop markers
     has_special = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
     r = governing.select(
         F.col("host").alias("__rhost"),

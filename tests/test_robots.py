@@ -28,11 +28,15 @@ def test_parse_groups_comments_and_empty_disallow(spark):
     ).collect()
     got = {(r.host, r.agent, r.rule, r.prefix) for r in rules}
     assert got == {
+        # group declarations survive as marker rows (rule/prefix NULL)
+        ("a.com", "*", None, None),
+        ("a.com", "badbot", None, None),
+        ("b.com", "*", None, None),
         ("a.com", "*", "disallow", "/private"),
         ("a.com", "*", "allow", "/private/ok"),
         ("a.com", "*", "disallow", "/tmp"),
         ("a.com", "badbot", "disallow", "/"),  # agent lower-cased
-    }  # b.com's empty Disallow (allow-everything) yields no rule rows
+    }  # b.com's empty Disallow (allow-everything) yields no RULE rows
 
 
 def test_longest_match_election_and_agent_isolation(spark):
@@ -164,6 +168,20 @@ def test_wildcard_and_anchor_rules(spark):
         "/a.b/c": False,
         "/aXb/c": True,
     }
+
+
+def test_empty_group_exempts_agent_from_star(spark):
+    """§2.2.1 regression: a group declared with only an empty Disallow
+    ("this bot is exempt") GOVERNS — the agent must not fall through to
+    a restrictive '*' group."""
+    rules = _rules(
+        spark,
+        [("h.com", "User-agent: *\nDisallow: /\n\nUser-agent: mybot\nDisallow:\n")],
+    )
+    urls = spark.createDataFrame([("h.com", "/page")], "host string, path string")
+    assert robots_filter(urls, rules, agent="mybot").first().allowed is True
+    # while everyone else is still locked out
+    assert robots_filter(urls, rules).first().allowed is False
 
 
 def test_duplicate_url_rows_preserved(spark):
