@@ -5137,6 +5137,120 @@ def docs_crawl_frontier(spark, sf_dir):
 
 
 @_register(
+    "docs_sitemap_frontier",
+    """
+    WITH entries AS (
+      SELECT source AS host, doc_id,
+             '<url><loc>/p' || doc_id || '</loc>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<lastmod>2026-01-'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                          || '</lastmod>' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+                          || '</priority>' END
+             || '</url>' AS entry
+      FROM documents
+    ),
+    sm AS (
+      SELECT host,
+             '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+      FROM entries GROUP BY 1
+    ),
+    blocks AS (
+      SELECT host, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b
+      FROM sm
+    ),
+    parsed AS (
+      SELECT host,
+             regexp_extract(b, '<loc>(.*?)</loc>', 1) AS loc,
+             nullif(regexp_extract(b, '<lastmod>(.*?)</lastmod>', 1), '') AS lastmod,
+             coalesce(
+               CAST(nullif(regexp_extract(b, '<priority>(.*?)</priority>', 1), '')
+                    AS DOUBLE),
+               0.5) AS priority
+      FROM blocks
+      WHERE len(regexp_extract(b, '<loc>(.*?)</loc>', 1)) > 0
+    ),
+    ranked AS (
+      SELECT host, loc, lastmod, priority,
+             row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, loc
+             ) AS rank
+      FROM parsed
+    )
+    SELECT host, loc, lastmod, priority, rank,
+           ('0x' || substr(md5(host), 1, 8))::BIGINT % 4 AS worker
+    FROM ranked WHERE rank <= 3
+    ORDER BY host, rank
+    """,
+)
+def docs_sitemap_frontier(spark, sf_dir):
+    """Sitemap-seeded crawl frontier (frontier.parse_sitemap +
+    frontier_next): each host's sitemap.xml is synthesized
+    deterministically (every 3rd URL carries <lastmod>, every 5th omits
+    <priority> and must default to 0.5 per sitemaps.org), parsed by the
+    map-only regexp extractor, and the top-3 URLs per host by advertised
+    priority are scheduled onto workers — discovery (sitemap) feeding
+    politeness (frontier), the other half of the robots.txt story. The
+    oracle replays XML assembly, block extraction, the priority default,
+    ranking and the worker hash.
+
+    Scale shape: extraction is map-only regexp work; ranking is the
+    WindowGroupLimit-pruned per-host top-K; nothing data-sized shuffles
+    beyond the K-per-host survivors."""
+    from shovel_spark.operators.frontier import frontier_next, parse_sitemap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    entry = F.concat(
+        F.lit("<url><loc>/p"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("<priority>0."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("</priority>"),
+            )
+        ),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        d.select(F.col("source").alias("host"), F.col("doc_id"), entry.alias("__e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "__e"))),
+                        lambda s: s["__e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    parsed = parse_sitemap(sitemaps)
+    return (
+        frontier_next(
+            parsed, "host", "loc", priority_col="priority", per_host=3, n_workers=4
+        )
+        .select("host", "loc", "lastmod", "priority", "rank", "worker")
+        .orderBy("host", "rank")
+    )
+
+
+@_register(
     "events_compaction_plan",
     """
     WITH manifest AS (

@@ -61,3 +61,38 @@ def frontier_next(
         .filter(F.col("rank") <= per_host)
         .withColumn("worker", host_worker(F.col(host_col), n_workers))
     )
+
+
+def parse_sitemap(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, loc, lastmod, priority) rows from sitemap.xml urlset bodies
+    — the discovery companion to robots.txt: hosts advertise their URLs
+    (with optional freshness and priority hints) and the crawler seeds
+    its frontier from them. Extraction is anchored regexp work over
+    <url> blocks (map-only, no XML library, no Python): the sitemap
+    format's flat fixed tags make regexp extraction exact here, unlike
+    general HTML. Missing <priority> defaults to 0.5 (the sitemaps.org
+    default); missing <lastmod> stays NULL; entries without a <loc> are
+    dropped. Feed the result straight into frontier_next with
+    priority_col="priority"."""
+    blocks = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).alias("__b"),
+    )
+    return blocks.select(
+        "host",
+        F.regexp_extract("__b", r"(?s)<loc>(.*?)</loc>", 1).alias("loc"),
+        F.nullif(
+            F.regexp_extract("__b", r"(?s)<lastmod>(.*?)</lastmod>", 1), F.lit("")
+        ).alias("lastmod"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("__b", r"(?s)<priority>(.*?)</priority>", 1),
+                F.lit(""),
+            ).cast("double"),
+            F.lit(0.5),
+        ).alias("priority"),
+    ).filter(F.length("loc") > 0)

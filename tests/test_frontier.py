@@ -62,3 +62,41 @@ def test_frontier_plan_uses_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_parse_sitemap_fields_and_defaults(spark):
+    from shovel_spark.operators.frontier import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>/a</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>"
+        "<url><loc>/b</loc></url>"          # no lastmod, no priority -> 0.5
+        "<url><priority>0.1</priority></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    rows = {
+        r.loc: r
+        for r in parse_sitemap(
+            spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+        ).collect()
+    }
+    assert set(rows) == {"/a", "/b"}
+    assert rows["/a"].lastmod == "2026-01-05" and rows["/a"].priority == 0.9
+    assert rows["/b"].lastmod is None and rows["/b"].priority == 0.5
+
+
+def test_sitemap_feeds_frontier(spark):
+    from shovel_spark.operators.frontier import frontier_next, parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>/hi</loc><priority>0.9</priority></url>"
+        "<url><loc>/mid</loc><priority>0.5</priority></url>"
+        "<url><loc>/lo</loc><priority>0.1</priority></url>"
+        "</urlset>"
+    )
+    parsed = parse_sitemap(
+        spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    )
+    top2 = frontier_next(parsed, "host", "loc", priority_col="priority", per_host=2)
+    assert [r.loc for r in top2.orderBy("rank").collect()] == ["/hi", "/mid"]
