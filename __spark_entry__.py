@@ -24,7 +24,7 @@ from shovel_spark.demo_queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
 # (2) brand-new round-6 queries; (3) events_heavy_hitters_cm re-attests
 # because its oracle changed this round (sketch-derived total,
 # greatest(1, ...) threshold); (4) the stalest r04-attested queries fill
-# the window (alphabetical; the 36 that don't fit are listed at the end
+# the window (alphabetical; the 37 that don't fit are listed at the end
 # for round 7). The full set is ALSO swept by scripts/check_correctness.py
 # in CI (scripts/run_checks.sh), so the driver window is a sampling
 # optimization, not the only gate.
@@ -67,9 +67,10 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_robots_filter",
     "events_compaction_plan",
     "docs_sitemap_frontier",
+    "docs_corpus_datacard",
     # oracle changed in round 6 — must re-attest
     "events_heavy_hitters_cm",
-    # last driver-attested r04 (alphabetical, first 13 of 49)
+    # last driver-attested r04 (alphabetical, first 12 of 49)
     "cohort_retention_d1_d7",
     "docs_benchmark_contamination",
     "docs_canonical_urls",
@@ -82,8 +83,8 @@ _DRIVER_PRIORITY: list[str] = [
     "docs_hash_split",
     "docs_incremental_neardup",
     "docs_lang_rebalance",
-    "docs_logreg_weights",
     # r04-attested spill to round 7 (window full at 50):
+    # docs_logreg_weights,
     # docs_minhash_capped_pairs, docs_ngram_commonness, docs_pack_shards,
     # docs_pagerank_mass, docs_quota_sample, docs_redact_pii, docs_repeated_spans,
     # docs_repetition_stats, docs_resolve_best_quality, docs_subword_tokens,

@@ -5137,6 +5137,109 @@ def docs_crawl_frontier(spark, sf_dir):
 
 
 @_register(
+    "docs_corpus_datacard",
+    r"""
+    WITH base AS (
+      SELECT lang, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+             round(avg(n_chars), 4) AS avg_chars,
+             round(avg(CASE WHEN toks < 50 THEN 1.0 ELSE 0.0 END), 6) AS pct_short
+      FROM base GROUP BY 1
+    ),
+    hashed AS (
+      SELECT DISTINCT lang,
+             ('0x' || substr(md5(h), 1, 15))::BIGINT AS hh
+      FROM base
+    ),
+    rho AS (
+      SELECT lang, hh % 64 AS bucket,
+             CASE WHEN hh // 64 = 0 THEN 55
+                  ELSE strpos(reverse(bin(hh // 64)), '1') END AS r
+      FROM hashed
+    ),
+    regs AS (SELECT lang, bucket, max(r) AS reg FROM rho GROUP BY 1, 2),
+    ag2 AS (
+      SELECT lang, count(*) AS nz, sum(power(2.0, -reg)) AS s
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT lang,
+             CASE WHEN (0.709 * 4096.0 / (s + (64 - nz))) <= 160.0 AND 64 - nz > 0
+                  THEN round(64.0 * ln(64.0 / (64 - nz)), 4)
+                  ELSE round(0.709 * 4096.0 / (s + (64 - nz)), 4) END AS est_distinct
+      FROM ag2
+    )
+    SELECT a.lang, n_docs, total_tokens, distinct_texts,
+           round(1.0 - distinct_texts / n_docs, 6) AS dup_rate,
+           avg_chars, pct_short, est_distinct
+    FROM agg a JOIN est USING (lang)
+    ORDER BY a.lang
+    """,
+)
+def docs_corpus_datacard(spark, sf_dir):
+    """Corpus datacard — the per-language report a training-data release
+    ships (docs, tokens, dup rate, length profile) composed from the
+    round's primitives: exact content identity via md5, the shared token
+    convention, AND the grouped HLL distinct estimate alongside the
+    exact count — because at 100 TB the datacard runs on the sketch
+    (bounded registers per language) and the exact distinct is only
+    affordable at test scale. The oracle replays every aggregate and the
+    HLL registers bit-for-bit.
+
+    Scale shape: one map-side-combinable groupBy per aggregate family
+    over the lang key (bounded cardinality); the HLL state is 64 longs
+    per language; no windows, no data-sized joins."""
+    from shovel_spark.functions.textstats import tokens
+    from shovel_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_cardinality_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.count_distinct("h").alias("distinct_texts"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.avg(F.when(F.col("toks") < 50, 1.0).otherwise(0.0)), 6
+        ).alias("pct_short"),
+    )
+    hll = hll_cardinality_grouped(
+        hll_build_grouped(base, "lang", "h", b=6), "lang", b=6
+    ).select("lang", F.round("est", 4).alias("est_distinct"))
+    return (
+        agg.join(hll, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "distinct_texts",
+            F.round(
+                1.0 - F.col("distinct_texts") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "avg_chars",
+            "pct_short",
+            "est_distinct",
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "docs_sitemap_frontier",
     """
     WITH entries AS (

@@ -266,3 +266,21 @@ def test_remove_boilerplate_short_paragraph_rules(spark):
     rows = {r.doc_id: r for r in remove_boilerplate(df).collect()}
     assert rows[1].n_kept == 2 and rows[1].text == good + " tail"
     assert rows[2].n_kept == 0
+
+
+def test_corpus_datacard_invariants(spark):
+    """Datacard sanity on the sf0.001 corpus: HLL estimate within the
+    64-register error band of the exact distinct, rates in [0, 1],
+    totals consistent."""
+    from shovel_spark.demo_queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["docs_corpus_datacard"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_rate <= 1 and 0 <= r.pct_short <= 1
+        assert r.distinct_texts <= r.n_docs <= r.total_tokens
+        assert abs(r.est_distinct - r.distinct_texts) <= max(
+            6.0, 0.35 * r.distinct_texts
+        )
