@@ -5299,9 +5299,15 @@ def docs_sitemap_frontier(spark, sf_dir):
     oracle replays XML assembly, block extraction, the priority default,
     ranking and the worker hash.
 
-    Scale shape: extraction is map-only regexp work; ranking is the
-    WindowGroupLimit-pruned per-host top-K; nothing data-sized shuffles
-    beyond the K-per-host survivors."""
+    Scale shape (the OPERATOR pipeline — parse + rank): extraction is
+    map-only regexp work over already-fetched sitemap bodies; ranking is
+    the WindowGroupLimit-pruned per-host top-K, so past the parse
+    nothing data-sized shuffles beyond the K-per-host survivors. The
+    collect_list XML SYNTHESIS stage above the operator is test-only
+    scaffolding standing in for fetched sitemap files — in production
+    the xml column arrives from the crawler and that stage does not
+    exist (a real hot host's sitemap is also capped at 50k URLs/file by
+    the spec, with index files pointing at shards)."""
     from shovel_spark.operators.frontier import frontier_next, parse_sitemap
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")

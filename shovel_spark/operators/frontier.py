@@ -73,8 +73,11 @@ def parse_sitemap(
     <url> blocks (map-only, no XML library, no Python): the sitemap
     format's flat fixed tags make regexp extraction exact here, unlike
     general HTML. Missing <priority> defaults to 0.5 (the sitemaps.org
-    default); missing <lastmod> stays NULL; entries without a <loc> are
-    dropped. Feed the result straight into frontier_next with
+    default), and so does a MALFORMED one ("high", "0,8" — sitemaps are
+    untrusted crawled content, so the cast is try_cast: one host's junk
+    must degrade to the default, not kill the batch under ANSI mode);
+    missing <lastmod> stays NULL; entries without a <loc> are dropped.
+    Feed the result straight into frontier_next with
     priority_col="priority"."""
     blocks = df.select(
         F.col(host_col).alias("host"),
@@ -89,10 +92,8 @@ def parse_sitemap(
             F.regexp_extract("__b", r"(?s)<lastmod>(.*?)</lastmod>", 1), F.lit("")
         ).alias("lastmod"),
         F.coalesce(
-            F.nullif(
-                F.regexp_extract("__b", r"(?s)<priority>(.*?)</priority>", 1),
-                F.lit(""),
-            ).cast("double"),
+            F.regexp_extract("__b", r"(?s)<priority>(.*?)</priority>", 1)
+            .try_cast("double"),
             F.lit(0.5),
         ).alias("priority"),
     ).filter(F.length("loc") > 0)

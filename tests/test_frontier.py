@@ -100,3 +100,25 @@ def test_sitemap_feeds_frontier(spark):
     )
     top2 = frontier_next(parsed, "host", "loc", priority_col="priority", per_host=2)
     assert [r.loc for r in top2.orderBy("rank").collect()] == ["/hi", "/mid"]
+
+
+def test_parse_sitemap_malformed_priority_degrades_to_default(spark):
+    """Sitemaps are untrusted crawled content: a non-numeric or
+    comma-decimal <priority> must fall to the 0.5 default (try_cast),
+    not kill the batch under ANSI mode."""
+    from shovel_spark.operators.frontier import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>/a</loc><priority>high</priority></url>"
+        "<url><loc>/b</loc><priority>0,8</priority></url>"
+        "<url><loc>/c</loc><priority>0.8</priority></url>"
+        "</urlset>"
+    )
+    rows = {
+        r.loc: r.priority
+        for r in parse_sitemap(
+            spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+        ).collect()
+    }
+    assert rows == {"/a": 0.5, "/b": 0.5, "/c": 0.8}
