@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+from shovel_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 from shovel_spark.operators.route import SinkRule
@@ -122,13 +124,13 @@ class PipelineSpec:
     def lang_map_df(self, spark: SparkSession) -> DataFrame:
         # truly empty when unconfigured — a dummy ("","") row would map
         # empty-string langs to "" instead of the default
-        return spark.createDataFrame(
-            list(self.lang_map.items()), "lang_raw string, lang_norm string"
+        return local_rows_df(
+            spark, list(self.lang_map.items()), "lang_raw string, lang_norm string"
         )
 
     def domain_rules_df(self, spark: SparkSession) -> DataFrame:
         rows = [(r["domain"], r["action"], r.get("sink")) for r in self.domain_rules]
-        return spark.createDataFrame(rows, "domain string, action string, sink string")
+        return local_rows_df(spark, rows, "domain string, action string, sink string")
 
 
 def _substitute_deep(value):

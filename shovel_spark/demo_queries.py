@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from shovel_spark.session import local_rows_df
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -144,7 +146,7 @@ def enrich_translate(spark, sf_dir):
     from shovel_spark.operators.enrich import translate
 
     ev = _t(spark, sf_dir, "events")
-    mapping = spark.createDataFrame(
+    mapping = local_rows_df(spark, 
         [("purchase", "revenue"), ("signup", "growth"), ("click", "engagement"), ("view", "engagement")],
         "k string, v string",
     )
@@ -860,8 +862,8 @@ def pipeline_metrics(spark, sf_dir):
     from shovel_spark.pipeline import JobConfig, build_routed
 
     pages = pages_from_documents(spark, sf_dir)
-    lang_map = spark.createDataFrame([(l, l) for l in _PIPE_LANGS], "lang_raw string, lang_norm string")
-    rules = spark.createDataFrame(
+    lang_map = local_rows_df(spark, [(l, l) for l in _PIPE_LANGS], "lang_raw string, lang_norm string")
+    rules = local_rows_df(spark, 
         [(f"{s}.example.com", "deny", None) for s in _PIPE_DENY]
         + [("src1.example.com", "allow", "priority")],
         "domain string, action string, sink string",
@@ -952,14 +954,14 @@ def pipeline_replay_recovery(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     v1 = pages_from_documents(spark, sf_dir)
-    lang_map = spark.createDataFrame(
+    lang_map = local_rows_df(spark, 
         [(l, l) for l in _PIPE_LANGS], "lang_raw string, lang_norm string"
     )
     deny_relaxed = list(_PIPE_DENY)
     deny_strict = deny_relaxed + ["src2"]
 
     def rules(deny):
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(f"{s}.example.com", "deny", None) for s in deny]
             + [("src1.example.com", "allow", "priority")],
             "domain string, action string, sink string",
@@ -1007,7 +1009,7 @@ def pipeline_replay_recovery(spark, sf_dir):
         ("still_dead", int(res["still_dead"])),
         ("unmatched", int(res["unmatched"])),
     ]
-    return spark.createDataFrame(rows, "metric string, n long")
+    return local_rows_df(spark, rows, "metric string, n long")
 
 
 # ---------------------------------------------------------------------------
@@ -1300,7 +1302,7 @@ def docs_incremental_neardup(spark, sf_dir):
             "id_a", "id_b"
         )
         rows = pairs.collect()
-        return spark.createDataFrame(rows, pairs.schema)
+        return local_rows_df(spark, rows, pairs.schema)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
@@ -1707,7 +1709,7 @@ def stream_hll_two_batches(spark, sf_dir):
         rows = out.collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "batch int, n_regs long, reg_checksum long, est double, exact long"
     )
 
@@ -2505,7 +2507,7 @@ def docs_incremental_neardup_capped(spark, sf_dir):
             "id_a", "id_b"
         )
         rows = pairs.collect()
-        return spark.createDataFrame(rows, pairs.schema)
+        return local_rows_df(spark, rows, pairs.schema)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
@@ -2694,7 +2696,7 @@ def stream_neardup_two_batches(spark, sf_dir):
             )
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2791,7 +2793,7 @@ def stream_windowed_metrics(spark, sf_dir):
             )
         )
         rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
+        return local_rows_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -3231,7 +3233,7 @@ def emb_ivf_topk(spark, sf_dir):
     import shutil
 
     shutil.rmtree(idx_path, ignore_errors=True)
-    return spark.createDataFrame(rows, top.schema)
+    return local_rows_df(spark, rows, top.schema)
 
 
 def _lsh_topk_indexed_query(spark, sf_dir, num_tables: int, salt: str):
@@ -3261,7 +3263,7 @@ def _lsh_topk_indexed_query(spark, sf_dir, num_tables: int, salt: str):
         rows = top.collect()
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
-    return spark.createDataFrame(rows, top.schema)
+    return local_rows_df(spark, rows, top.schema)
 
 
 @_register(
@@ -3409,7 +3411,7 @@ def emb_lsh_topk_batch(spark, sf_dir):
             spark, idx_path, queries, k=5, planes=4
         ).select("query_id", "vec_id", F.round("sim", 4).alias("sim"))
         rows = top.collect()
-        return spark.createDataFrame(rows, top.schema)
+        return local_rows_df(spark, rows, top.schema)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
@@ -3477,7 +3479,7 @@ def emb_ivf_topk_batch(spark, sf_dir):
             spark, idx_path, cents, queries, k=5, nprobe=3
         ).select("query_id", "vec_id", F.round("sim", 4).alias("sim"))
         rows = top.collect()
-        return spark.createDataFrame(rows, top.schema)
+        return local_rows_df(spark, rows, top.schema)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
@@ -6794,7 +6796,7 @@ def docs_logreg_weights(spark, sf_dir):
     rows = [(i, round(w, 4)) for i, w in enumerate(weights[:64])] + [
         (-1, round(weights[64], 4))
     ]
-    return spark.createDataFrame(rows, "bucket int, weight double")
+    return local_rows_df(spark, rows, "bucket int, weight double")
 
 
 def _pr_iter_ctes(n_iters: int) -> str:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shovel_spark.schema import LEDGER_SCHEMA
+from shovel_spark.session import local_rows_df
 
 
 def with_bucket(df: DataFrame, key: str = "url", n_buckets: int = 64) -> DataFrame:
@@ -78,10 +79,10 @@ def append_ledger(
         )
         for bc in bucket_counts
     ]
-    df = spark.createDataFrame(rows, LEDGER_SCHEMA).withColumn(
+    df = local_rows_df(spark, rows, LEDGER_SCHEMA).withColumn(
         "completed_at", F.current_timestamp()
     )
-    df.coalesce(1).write.mode("append").parquet(ledger_dir)
+    df.write.mode("append").parquet(ledger_dir)
 
 
 def append_attempts(
@@ -100,10 +101,10 @@ def append_attempts(
     if not buckets:
         return
     rows = [(run_id, int(b), "attempt", 0, 0, 0, 0, 0, None, None) for b in buckets]
-    df = spark.createDataFrame(rows, LEDGER_SCHEMA).withColumn(
+    df = local_rows_df(spark, rows, LEDGER_SCHEMA).withColumn(
         "completed_at", F.current_timestamp()
     )
-    df.coalesce(1).write.mode("append").parquet(ledger_dir)
+    df.write.mode("append").parquet(ledger_dir)
 
 
 def new_run_id() -> str:

@@ -24,6 +24,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from shovel_spark.session import local_rows_df
+
 PROGRESS_SCHEMA = (
     "ts_ms long, stage_id int, attempt int, name string, num_tasks int, "
     "active_tasks int, complete_tasks int, failed_tasks int"
@@ -104,8 +106,7 @@ class ProgressMonitor:
         # accumulate their progress history, like the run-history ledger
         try:
             (
-                self.spark.createDataFrame(rows, PROGRESS_SCHEMA)
-                .coalesce(1)
+                local_rows_df(self.spark, rows, PROGRESS_SCHEMA)
                 .write.mode("append")
                 .parquet(self.path)
             )

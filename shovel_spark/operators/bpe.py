@@ -49,6 +49,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from shovel_spark.session import local_rows_df
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from pyspark.sql import Column
@@ -160,7 +162,7 @@ def bpe_train(
             "syms", _merge_once("syms", row.left, row.right)
         ).localCheckpoint(eager=True)
 
-    merges_df = spark.createDataFrame(merges, _MERGES_SCHEMA)
+    merges_df = local_rows_df(spark, merges, _MERGES_SCHEMA)
     return merges_df, state
 
 

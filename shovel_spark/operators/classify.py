@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shovel_spark.session import local_rows_df
+
 from shovel_spark.functions.textstats import tokens
 
 
@@ -102,9 +104,7 @@ def logreg_fit(
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            list(enumerate(w)), "bucket int, w double"
-        )
+        wdf = local_rows_df(spark, list(enumerate(w)), "bucket int, w double")
         scored = (
             feats.join(F.broadcast(wdf), "bucket")
             .groupBy(id_col)
@@ -146,7 +146,7 @@ def logreg_predict(
     + one groupBy, the map-side scoring pass a filter pipeline runs."""
     spark = features.sparkSession
     dim = len(weights) - 1
-    wdf = spark.createDataFrame(list(enumerate(weights[:dim])), "bucket int, w double")
+    wdf = local_rows_df(spark, list(enumerate(weights[:dim])), "bucket int, w double")
     return (
         features.join(F.broadcast(wdf), "bucket")
         .groupBy(id_col)

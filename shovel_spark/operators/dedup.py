@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shovel_spark.session import local_rows_df
+
 from shovel_spark.functions.textstats import fingerprint, tokens
 
 
@@ -601,13 +603,14 @@ def _write_minhash_index(
             # probe's doc-frequency sums from a corpus that no longer exists
             shk_t = "string" if family == "md5" else "long"
             (
-                df.sparkSession.createDataFrame([], f"shk {shk_t}, df long")
+                local_rows_df(df.sparkSession, [], f"shk {shk_t}, df long")
                 .write.mode("overwrite")
                 .parquet(f"{path}/hot_df")
             )
     if batch is None and mode == "overwrite":
         spark = df.sparkSession
-        meta = spark.createDataFrame(
+        meta = local_rows_df(
+            spark,
             [(int(k), int(num_hashes), int(bands), str(family),
               None if max_doc_freq is None else int(max_doc_freq))],
             "k int, num_hashes int, bands int, family string, max_doc_freq int",
@@ -679,7 +682,7 @@ def _read_hot_df(spark, index_path: str, family: str):
         hot = spark.read.parquet(f"{index_path}/hot_df")
     except AnalysisException:
         shk_t = "string" if family == "md5" else "long"
-        return spark.createDataFrame([], f"shk {shk_t}, __hdf long")
+        return local_rows_df(spark, [], f"shk {shk_t}, __hdf long")
     return hot.groupBy("shk").agg(F.max("df").alias("__hdf"))
 
 
@@ -1003,13 +1006,19 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: sign-pattern bucket join,
     then exact cosine on candidates (see similarity.py for the primitives)."""
-    from shovel_spark.operators.similarity import cosine, hyperplane_signature
+    from shovel_spark.operators.similarity import dot, hyperplane_signature, l2_norm
 
     sig = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("sig")
+        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+        # norms hoisted per-vector (same formula/op order as cosine(), so
+        # results are bit-identical): the candidate join then runs one
+        # 64-element fold per pair instead of three
+        l2_norm(F.col(vec_col)).alias("__norm"),
     )
     x, y = sig.alias("x"), sig.alias("y")
-    sim = cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+    sim = dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
+        F.col("x.__norm") * F.col("y.__norm")
+    )
     return (
         x.join(y, (F.col("x.sig") == F.col("y.sig")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
         .select(

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from shovel_spark.session import local_rows_df
+
 
 def compaction_plan(
     files: DataFrame,
@@ -83,6 +85,6 @@ def list_parquet_files(spark, path: str, partition_col_name: str = "partition"):
             if n.endswith(".parquet"):
                 p = os.path.join(root, n)
                 rows.append((part if part != "." else "", n, os.path.getsize(p)))
-    return spark.createDataFrame(
-        rows, f"{partition_col_name} string, file string, bytes long"
+    return local_rows_df(
+        spark, rows, f"{partition_col_name} string, file string, bytes long"
     )

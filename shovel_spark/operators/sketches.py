@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shovel_spark.session import local_rows_df
+
 
 def md5_mod(col: Column, modulus: int, salt: str = "", hex_chars: int = 8) -> Column:
     """THE engine-neutral hash-to-bucket idiom, defined once: first
@@ -453,7 +455,7 @@ def qhist_quantiles(
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("total"),
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = local_rows_df(spark, [(float(q),) for q in qs], "q double")
     hit = (
         F.broadcast(qdf)
         .crossJoin(cum)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from shovel_spark.session import local_rows_df
 from pyspark.sql import types as T
 
 
@@ -216,7 +218,8 @@ def distributed_ntile(
     for pid in sorted(sizes):  # range partition i holds the i-th key range
         offsets[pid] = acc
         acc += sizes[pid]
-    off_df = ranked.sparkSession.createDataFrame(
+    off_df = local_rows_df(
+        ranked.sparkSession,
         [(int(pid), int(o)) for pid, o in offsets.items()],
         "__pid int, __off long",
     )
@@ -295,7 +298,7 @@ def distributed_cumsum(
     for pid in sorted(sums):  # range partition i holds the i-th key range
         offsets.append((int(pid), acc))
         acc += int(sums[pid] or 0)
-    off_df = part.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    off_df = local_rows_df(part.sparkSession, offsets, "__pid int, __off long")
     return (
         part.withColumn("__local", local)
         .join(F.broadcast(off_df), "__pid", "left")

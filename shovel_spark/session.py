@@ -42,6 +42,23 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """DataFrame from a small driver-local row list, single-sliced.
+
+    ``spark.createDataFrame(rows, schema)`` slices local data into
+    ``spark.default.parallelism`` partitions — mostly EMPTY for the bounded
+    row lists this codebase materializes (ledger bucket rows, k-means
+    centroids, logreg weights, ntile offsets, sketch metadata). Every
+    single-task downstream consumer (a ``coalesce(1)`` parquet append, a
+    broadcast build) then pays one Python-worker round-trip PER SLICE
+    inside one task: measured 5-7 s for a 16-row ledger append on
+    local[32] versus 0.4 s single-sliced. All call sites here hold
+    driver-bounded lists, so one slice is always the right layout.
+    """
+    sc = spark.sparkContext
+    return spark.createDataFrame(sc.parallelize(rows, numSlices=1), schema)
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "shovel_spark",

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shovel_spark.session import local_rows_df
+
 # 64-word vocabulary; index picked by xxhash64 of (seed, row id, position).
 _WORDS = (
     "the quick brown fox jumps over lazy dog data spark batch stream table "
@@ -166,7 +168,7 @@ def default_lang_map(spark: SparkSession) -> DataFrame:
         ("sv", "sv"),
         ("tr", "tr"),
     ]
-    return spark.createDataFrame(rows, "lang_raw string, lang_norm string")
+    return local_rows_df(spark, rows, "lang_raw string, lang_norm string")
 
 
 def default_domain_rules(spark: SparkSession) -> DataFrame:
@@ -185,4 +187,4 @@ def default_domain_rules(spark: SparkSession) -> DataFrame:
         ("spam.badsite.biz", "deny", None),
         ("evil.badsite.biz", "deny", None),
     ]
-    return spark.createDataFrame(rows, "domain string, action string, sink string")
+    return local_rows_df(spark, rows, "domain string, action string, sink string")
