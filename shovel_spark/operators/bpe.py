@@ -134,11 +134,14 @@ def bpe_train(
     merged). Per-step cost: one groupBy over distinct adjacent pairs of
     the VOCAB table + a 1-row TakeOrdered — nothing corpus-sized.
     """
+    # eager=False: the next step's pair-count collect materializes the
+    # checkpoint inside its own job — one job per merge instead of two
+    # (the checkpoint still truncates lineage at first use)
     state = words.select(
         "word",
         "cnt",
         F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))).alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, num_merges + 1):
@@ -160,7 +163,7 @@ def bpe_train(
         merges.append((step, row.left, row.right, row.pair_count))
         state = state.withColumn(
             "syms", _merge_once("syms", row.left, row.right)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     merges_df = local_rows_df(spark, merges, _MERGES_SCHEMA)
     return merges_df, state

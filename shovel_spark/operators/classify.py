@@ -122,16 +122,26 @@ def logreg_fit(
             )
         )
         resid = p.select(id_col, (F.col("p") - F.col("y")).alias("r"))
+        # weight grads and the bias grad in ONE job: the bias rides as a
+        # synthetic bucket -1 row (sum of residuals over docs). The r6
+        # shape ran a second full scoring pass just for sum(r); the
+        # per-iteration rounding absorbs any summation-order noise either
+        # way (that is what round_decimals exists for).
         grad_rows = (
             feats.join(resid, id_col)
+            .select("bucket", (F.col("r") * F.col("x")).alias("__rx"))
+            .unionByName(resid.select(F.lit(-1).alias("bucket"), F.col("r").alias("__rx")))
             .groupBy("bucket")
-            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .agg(F.sum("__rx").alias("g"))
             .collect()
         )
         g = [0.0] * dim
+        gb = 0.0
         for row in grad_rows:
-            g[row["bucket"]] = row["g"]
-        gb = resid.agg(F.sum("r").alias("gb")).first()["gb"] or 0.0
+            if row["bucket"] == -1:
+                gb = row["g"] or 0.0
+            else:
+                g[row["bucket"]] = row["g"]
         w = [round(wi - lr * gi / n_docs, round_decimals) for wi, gi in zip(w, g)]
         b = round(b - lr * gb / n_docs, round_decimals)
     return [*w, b]

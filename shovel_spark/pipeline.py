@@ -537,17 +537,24 @@ def replay_dead_letters(
         try:
             recovered = routed.filter(F.col("status") != "rejected")
             still = routed.filter(F.col("status") == "rejected")
-            n_retried = routed.count()
-            n_still = still.count()
+            # ONE aggregation job over the cached frame yields every
+            # counter (retried/still/per-sink/ignored) the r6 shape
+            # collected with four separate actions
+            status_sink = (
+                routed.groupBy("status", "sink").agg(F.count("*").alias("n")).collect()
+            )
+            n_retried = sum(int(r["n"]) for r in status_sink)
+            n_still = sum(int(r["n"]) for r in status_sink if r["status"] == "rejected")
             n_recovered = n_retried - n_still
-            per_sink = {
-                r.sink: r.n
-                for r in recovered.filter(F.col("sink").isNotNull())
-                .groupBy("sink")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            n_ignored = recovered.filter(F.col("sink").isNull()).count()
+            per_sink: dict = {}
+            for r in status_sink:
+                if r["status"] != "rejected" and r["sink"] is not None:
+                    per_sink[r["sink"]] = per_sink.get(r["sink"], 0) + int(r["n"])
+            n_ignored = sum(
+                int(r["n"])
+                for r in status_sink
+                if r["status"] != "rejected" and r["sink"] is None
+            )
             # keep metrics_by_bucket consistent: retried docs leave
             # (dead_letter, rejected) and re-enter at their new
             # (sink, status); only affected bucket partitions rewrite.
