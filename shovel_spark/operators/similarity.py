@@ -434,10 +434,23 @@ def build_ivf_index(
     This is the build step a real ANN deployment amortizes over millions of
     queries — assign once, write ``partitionBy('cell')``, and every query
     after that PRUNES to nprobe cell directories at the parquet scan
-    (PartitionFilters), touching n*nprobe/n_cells of the corpus I/O."""
-    assigned = ivf_assign(df, centroids, vec_col, id_col).select(id_col, "cell")
+    (PartitionFilters), touching n*nprobe/n_cells of the corpus I/O.
+
+    Centroid tables are config-sized by contract (n_cells rows — probes
+    already collect them to rank cells), so for moderate cell counts the
+    assignment is the map-only literal argmax: no crossJoin, no per-id
+    groupBy, no join of vectors back onto assignments — the only
+    exchange left is the write's repartition("cell"). Beyond 256 cells
+    the literal expression would bloat codegen, so the broadcast-join
+    form remains the fallback."""
+    cents = [(int(r["cell"]), list(r["centroid"])) for r in centroids.collect()]
+    if 0 < len(cents) <= 256:
+        assigned_df = df.withColumn("cell", _centroid_argmax(cents, vec_col)["cell"])
+    else:
+        assigned = ivf_assign(df, centroids, vec_col, id_col).select(id_col, "cell")
+        assigned_df = df.join(assigned, id_col)
     (
-        df.join(assigned, id_col)
+        assigned_df
         .repartition("cell")
         .write.mode("overwrite")
         # full index rebuild: pin STATIC (a rebuild with fewer/renumbered
