@@ -41,8 +41,21 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+#: (applicationId, path) -> lazy DataFrame READER PLAN. This memoizes only
+#: the relation metadata (file listing + footer schema inference, ~0.1 s per
+#: spark.read.parquet) across the ~270 table reads a full query sweep makes.
+#: No rows are cached or persisted — every query still computes from the
+#: parquet files; keying by applicationId drops plans from stopped sessions.
+_READ_PLANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _READ_PLANS.get(key)
+    if df is None:
+        df = spark.read.parquet(key[1])
+        _READ_PLANS[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

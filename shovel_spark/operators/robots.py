@@ -143,9 +143,12 @@ def robots_filter(
     data-sized); the election is one map-side-combinable max of a
     (length, is_allow) struct per URL row."""
     wanted = agent.lower()
-    # one pre-filtered, materialized pass over the parse lineage — spec,
-    # star and spec_hosts otherwise each re-run the posexplode + window
-    relevant = rules.filter(F.col("agent").isin(wanted, "*")).localCheckpoint()
+    # one pre-filtered, lazily-materialized pass over the parse lineage —
+    # spec, star and spec_hosts otherwise each re-run the posexplode +
+    # window. eager=False (r6 ADVICE): repeated filter calls against an
+    # already-cached rules table must not pay an up-front parse job per
+    # invocation; the checkpoint still pins the lineage at first use.
+    relevant = rules.filter(F.col("agent").isin(wanted, "*")).localCheckpoint(eager=False)
     spec = relevant.filter(F.col("agent") == wanted)
     star = relevant.filter(F.col("agent") == "*")
     # hosts with a group for the requested agent use ONLY that group —
