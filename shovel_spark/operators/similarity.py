@@ -372,6 +372,13 @@ def _centroid_argmax(cents: list[tuple[int, list[float]]], vec_col: str) -> Colu
     inlining them as literals is free and turns assignment into a pure
     projection that fuses into the consumer's stage.
 
+    NOTE: the per-centroid cosine stays on the interpreted fold
+    deliberately — an A/B that unrolled it via fast_dot (k unrolled
+    256-term expressions per row) blew up generated-code size, de-JIT'd
+    the whole stage and measured 2-4x SLOWER across every consumer
+    (fast_dot pays off only for a single dot per row, as in the pair
+    stages).
+
     Returns the winning ``struct(sim, cell)`` column."""
     entries = [
         F.struct(
