@@ -789,7 +789,13 @@ def margin_mine(
         paired = candidates.select("a_id", "b_id").join(av, "a_id").join(
             F.broadcast(bv), "b_id"
         )
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__norm_a") * F.col("__norm_b"))
+    pdim = _probe_dim(a, vec_col)
+    pair_dot = (
+        fast_dot(F.col("__va"), F.col("__vb"), pdim)
+        if pdim
+        else dot(F.col("__va"), F.col("__vb"))
+    )
+    cos = pair_dot / (F.col("__norm_a") * F.col("__norm_b"))
     if round_cos is not None:
         cos = F.round(cos, round_cos)
     pairs = paired.select("a_id", "b_id", cos.alias("cos"))
